@@ -1,0 +1,340 @@
+"""Llama/Qwen decoder: pure-functional JAX, stacked layers, scan-compiled.
+
+The TPU-native re-design of the reference's TE-patched decoder
+(``te_llama.py:41-66``: TE MultiheadAttention + LayerNormMLP under two
+``fp8_autocast`` scopes). Differences by design:
+
+  * no modules, no monkey-patching — params are a pytree, the forward is a
+    function; quantization state (scales) is explicit input/output.
+  * layers are *stacked* (every param has a leading ``[num_layers]`` axis) and
+    iterated with ``lax.scan`` — one traced layer body regardless of depth,
+    which keeps XLA compile times flat from 1B to 14B.
+  * fused projections: ``wqkv = [q|k|v]`` and ``w_gate_up = [gate|up]``
+    exactly mirroring TE's fused layouts that the reference's checkpoint remap
+    produces (``te_llama.py:181-239``).
+  * weights may be plain arrays (bf16 path) or :class:`QTensor` (prequantized
+    FP8 serving path); the training path quantizes both operands per recipe
+    via :func:`fp8_dot`.
+
+Layout is bshd everywhere (matches TE's ``qkv_format="bshd"``,
+``te_llama.py:45-56``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llm_fp8_tpu.ops.attention import attention
+from llm_fp8_tpu.ops.rmsnorm import rmsnorm
+from llm_fp8_tpu.ops.rotary import rope_frequencies, rope_cos_sin, apply_rope
+from llm_fp8_tpu.quant import (
+    QTensor,
+    RecipeSet,
+    BF16_SET,
+    qdot,
+    quantize,
+    quantize_mx,
+)
+
+from .config import ModelConfig
+
+__all__ = [
+    "init_params",
+    "forward",
+    "quantize_params",
+    "KVCache",
+    "init_kv_cache",
+]
+
+
+# --------------------------------------------------------------------------
+# Parameters
+# --------------------------------------------------------------------------
+
+
+def init_params(
+    cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    """Random init with HF-comparable scales (normal(0, 0.02))."""
+    k = iter(jax.random.split(key, 16))
+    D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    L = cfg.num_layers
+
+    def w(key, shape, std=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+    layers = {
+        "wqkv": w(next(k), (L, D, cfg.qkv_dim)),
+        "wo": w(next(k), (L, cfg.q_dim, D)),
+        "w_gate_up": w(next(k), (L, D, 2 * I)),
+        "w_down": w(next(k), (L, I, D)),
+        "norm_attn": jnp.ones((L, D), dtype),
+        "norm_mlp": jnp.ones((L, D), dtype),
+    }
+    if cfg.qkv_bias:
+        layers["bqkv"] = jnp.zeros((L, cfg.qkv_dim), dtype)
+    params = {
+        "embed": w(next(k), (V, D)),
+        "layers": layers,
+        "final_norm": jnp.ones((D,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = w(next(k), (D, V))
+    return params
+
+
+def quantize_params(
+    params: Dict[str, Any], recipes: RecipeSet
+) -> Dict[str, Any]:
+    """Prequantize weights per the recipe set (the scale-baking pass).
+
+    This is the functional replacement for TE's runtime weight quantization
+    inside ``fp8_autocast``: quantize once, bake scales into the checkpoint,
+    serve from FP8 (BASELINE.json north-star). Per-output-channel scales for
+    per-tensor-class recipes (strictly tighter than TE's per-tensor, free on
+    TPU), MX block scales for the block recipe. Norms/embeddings stay high
+    precision, as in the reference (TE never wraps them).
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+
+    def q(name: str, role: str, contract_axis: int = 1):
+        recipe = recipes.for_role(role)
+        wv = layers[name]
+        if recipe is None:
+            return
+        if recipe.granularity == "block32":
+            layers[name] = quantize_mx(
+                wv.astype(jnp.float32), recipe.fmt_fwd, block_axis=contract_axis
+            )
+        else:
+            # contract_axis is the K axis of the stacked [L, K, N] weight.
+            layers[name] = quantize(
+                wv.astype(jnp.float32), recipe.fmt_fwd, axes=(contract_axis,),
+                margin=recipe.margin,
+            )
+
+    q("wqkv", "attn_qkv")
+    q("wo", "attn_out")
+    q("w_gate_up", "mlp")
+    q("w_down", "mlp")
+    out["layers"] = layers
+    lm_recipe = recipes.for_role("lm_head")
+    if lm_recipe is not None and "lm_head" in out:
+        out["lm_head"] = quantize(
+            out["lm_head"].astype(jnp.float32), lm_recipe.fmt_fwd, axes=(0,)
+        )
+    return out
+
+
+def _dot(x: jax.Array, w) -> jax.Array:
+    """x @ w where w is an array or a QTensor."""
+    if isinstance(w, QTensor):
+        return qdot(x, w)
+    return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(
+        x.dtype
+    )
+
+
+# --------------------------------------------------------------------------
+# KV cache
+# --------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Static-shape KV cache arena: ``k/v: [L, B, S_max, Hk, Dh]``.
+
+    ``fp8`` storage keeps e4m3 payloads (the FP8-KV serving recipe). FP8 is a
+    *float* format, so magnitude-1 K/V values quantize at ~6% relative error
+    without any scale; ``k_scale/v_scale`` ([L] per-layer) are provided for
+    calibrated deployments. ``lens [B]`` tracks per-sequence fill (the
+    ``cache_seqlens`` of ``flash_attn_with_kvcache``,
+    reference ``flash_attn/flash_attn_interface.py:1464+``).
+    """
+
+    k: jax.Array
+    v: jax.Array
+    lens: jax.Array  # [B] int32
+    k_scale: jax.Array  # [L] f32
+    v_scale: jax.Array  # [L] f32
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def fp8(self) -> bool:
+        return self.k.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
+
+
+def init_kv_cache(
+    cfg: ModelConfig,
+    batch: int,
+    max_len: int,
+    *,
+    dtype=jnp.bfloat16,
+) -> KVCache:
+    L = cfg.num_layers
+    shape = (L, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        lens=jnp.zeros((batch,), jnp.int32),
+        k_scale=jnp.ones((L,), jnp.float32),
+        v_scale=jnp.ones((L,), jnp.float32),
+    )
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+
+def _layer_body(
+    x: jax.Array,
+    lp: Dict[str, Any],
+    cos: jax.Array,
+    sin: jax.Array,
+    cfg: ModelConfig,
+    cache_kv: Optional[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]],
+    start_pos: jax.Array,
+    kv_lens: Optional[jax.Array],
+    attn_impl: str,
+):
+    """One decoder layer. Returns (x_out, (new_k, new_v)).
+
+    ``cache_kv``: (k_cache [B,S,Hk,Dh], v_cache, k_scale, v_scale) for this
+    layer, or None for cache-less training/eval forward.
+    """
+    B, S, D = x.shape
+    Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    # --- attention block ---
+    h = rmsnorm(x, lp["norm_attn"], cfg.rms_eps)
+    qkv = _dot(h, lp["wqkv"])
+    if "bqkv" in lp:
+        qkv = qkv + lp["bqkv"].astype(qkv.dtype)
+    q, kk, vv = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
+    q = q.reshape(B, S, Hq, Dh)
+    kk = kk.reshape(B, S, Hk, Dh)
+    vv = vv.reshape(B, S, Hk, Dh)
+    q = apply_rope(q, cos, sin)
+    kk = apply_rope(kk, cos, sin)
+
+    if cache_kv is None:
+        attn = attention(q, kk, vv, causal=True, kv_lens=kv_lens, impl=attn_impl)
+        new_kv = (kk, vv)
+    else:
+        k_cache, v_cache, k_scale, v_scale = cache_kv
+        # Append new K/V at start_pos (quantizing if the cache is FP8)…
+        if k_cache.dtype != kk.dtype:
+            k_store = (kk.astype(jnp.float32) / k_scale).astype(k_cache.dtype)
+            v_store = (vv.astype(jnp.float32) / v_scale).astype(v_cache.dtype)
+        else:
+            k_store, v_store = kk, vv
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_store, (0, start_pos, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_store, (0, start_pos, 0, 0)
+        )
+        # …then attend over the whole (masked) cache.
+        k_all = k_cache.astype(jnp.bfloat16)
+        v_all = v_cache.astype(jnp.bfloat16)
+        if k_cache.dtype != kk.dtype:
+            k_all = k_all * k_scale.astype(jnp.bfloat16)
+            v_all = v_all * v_scale.astype(jnp.bfloat16)
+        attn = attention(
+            q, k_all, v_all, causal=True, q_offset=start_pos,
+            kv_lens=kv_lens, impl=attn_impl,
+        )
+        new_kv = (k_cache, v_cache)
+
+    attn = attn.reshape(B, S, Hq * Dh)
+    x = x + _dot(attn, lp["wo"])
+
+    # --- MLP block (SwiGLU, fused gate|up like TE's fc1) ---
+    h = rmsnorm(x, lp["norm_mlp"], cfg.rms_eps)
+    gate_up = _dot(h, lp["w_gate_up"])
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    h = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+    x = x + _dot(h, lp["w_down"])
+    return x, new_kv
+
+
+def forward(
+    params: Dict[str, Any],
+    tokens: jax.Array,
+    cfg: ModelConfig,
+    *,
+    cache: Optional[KVCache] = None,
+    start_pos: jax.Array | int = 0,
+    kv_lens: Optional[jax.Array] = None,
+    attn_impl: str = "auto",
+    unroll: int = 1,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Forward pass: ``tokens [B, S] -> (logits [B, S, V], updated cache)``.
+
+    Three usages:
+      * training/eval: ``cache=None`` — full causal self-attention.
+      * prefill: pass a fresh ``cache``; K/V written at ``start_pos``.
+      * decode: ``S == 1`` with ``start_pos = cache.lens`` semantics
+        (``kv_lens`` masks the unwritten tail of the arena).
+    """
+    x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    B, S = tokens.shape
+
+    start_pos = jnp.asarray(start_pos, jnp.int32)
+    positions = start_pos + jnp.arange(S, dtype=jnp.int32)[None, :]  # [1,S]
+    inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv_freq)  # [1, S, Dh/2]
+
+    lp_stack = params["layers"]
+
+    if cache is None:
+
+        def body(x, lp):
+            x, _ = _layer_body(
+                x, lp, cos, sin, cfg, None, start_pos, kv_lens, attn_impl
+            )
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, lp_stack, unroll=unroll)
+        new_cache = None
+    else:
+
+        def body(x, lp_and_kv):
+            lp, (k_c, v_c, k_s, v_s) = lp_and_kv
+            x, (nk, nv) = _layer_body(
+                x, lp, cos, sin, cfg, (k_c, v_c, k_s, v_s), start_pos,
+                kv_lens, attn_impl,
+            )
+            return x, (nk, nv)
+
+        xs = (lp_stack, (cache.k, cache.v, cache.k_scale, cache.v_scale))
+        x, (new_k, new_v) = jax.lax.scan(body, x, xs, unroll=unroll)
+        new_cache = KVCache(
+            k=new_k, v=new_v,
+            lens=jnp.maximum(cache.lens, start_pos + S),
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
+        )
+
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        logits = jnp.dot(
+            x, params["embed"].T.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        lm = params["lm_head"]
+        logits = (
+            qdot(x, lm, out_dtype=jnp.float32)
+            if isinstance(lm, QTensor)
+            else jnp.dot(x, lm.astype(x.dtype), preferred_element_type=jnp.float32)
+        )
+    return logits.astype(jnp.float32), new_cache

@@ -1,0 +1,122 @@
+"""Attention: golden reference implementation + dispatch.
+
+This is the framework's equivalent of the reference's pure-PyTorch
+``attention_ref`` used as the golden model for every flash kernel
+(``flash-attention-2.8.0/tests/test_util.py:185``): an einsum/softmax
+composition in fp32 that every Pallas kernel is tested against. The public
+``attention()`` entry dispatches to the Pallas flash kernel on TPU and falls
+back to this reference everywhere else.
+
+Feature parity targets (reference ``flash_attn_interface.py:1135+``):
+GQA/MQA (kv heads broadcast), causal masking, sliding window, soft-capping,
+padding masks via explicit lengths.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["attention_ref", "attention"]
+
+
+def _build_mask(
+    q_len: int,
+    k_len: int,
+    causal: bool,
+    window: Optional[int],
+    q_offset,
+    kv_lens: Optional[jax.Array],
+    batch: int,
+):
+    """Boolean mask [B or 1, 1, q_len, k_len], True = attend."""
+    q_pos = q_offset + jnp.arange(q_len)[:, None]  # absolute position of query
+    k_pos = jnp.arange(k_len)[None, :]
+    mask = jnp.ones((q_len, k_len), dtype=bool)
+    if causal:
+        mask &= k_pos <= q_pos
+    if window is not None:
+        mask &= k_pos > q_pos - window
+    mask = mask[None, None]
+    if kv_lens is not None:
+        valid = k_pos[None] < kv_lens[:, None, None]  # [B, 1, k_len]
+        mask = mask & valid[:, None]
+    return mask
+
+
+def attention_ref(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    scale: Optional[float] = None,
+    q_offset: int | jax.Array = 0,
+    kv_lens: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Golden attention in fp32.
+
+    Shapes (bshd layout, matching the reference's TE config ``qkv_format=bshd``,
+    ``te_llama.py:45-56``):
+      q: [B, Sq, Hq, D], k/v: [B, Sk, Hk, D] with Hq % Hk == 0 (GQA).
+      q_offset: absolute position of q[0] (for decode steps q_offset = cache len).
+      kv_lens: [B] valid KV lengths (padding / ragged batches).
+    Returns [B, Sq, Hq, D] in q.dtype.
+    """
+    B, Sq, Hq, D = q.shape
+    _, Sk, Hk, _ = k.shape
+    groups = Hq // Hk
+    scale = scale if scale is not None else D ** -0.5
+
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if groups > 1:
+        kf = jnp.repeat(kf, groups, axis=2)
+        vf = jnp.repeat(vf, groups, axis=2)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
+    if softcap is not None:
+        logits = softcap * jnp.tanh(logits / softcap)
+    mask = _build_mask(Sq, Sk, causal, window, q_offset, kv_lens, B)
+    logits = jnp.where(mask, logits, -jnp.inf)
+    # Fully-masked rows (can happen with kv_lens=0) must produce zeros, not NaN.
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(jnp.any(mask, axis=-1, keepdims=True), probs, 0.0)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)
+    return out.astype(q.dtype)
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    scale: Optional[float] = None,
+    q_offset: int | jax.Array = 0,
+    kv_lens: Optional[jax.Array] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Public attention entry; dispatches to the Pallas flash kernel on TPU.
+
+    ``impl``: "auto" (flash on TPU, reference elsewhere), "flash", "ref".
+    """
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "ref"
+    if impl == "flash":
+        from llm_fp8_tpu.kernels.flash_attention import flash_attention
+
+        return flash_attention(
+            q, k, v, causal=causal, window=window, softcap=softcap,
+            scale=scale, q_offset=q_offset, kv_lens=kv_lens,
+        )
+    return attention_ref(
+        q, k, v, causal=causal, window=window, softcap=softcap,
+        scale=scale, q_offset=q_offset, kv_lens=kv_lens,
+    )

@@ -1,0 +1,213 @@
+"""Quantized matmuls: the functional replacement for TE's FP8 GEMMs.
+
+Reference behavior being reproduced: inside ``fp8_autocast`` TE quantizes both
+GEMM operands to the recipe's forward format, runs the FP8 GEMM, and in the
+backward pass quantizes gradients to the backward format
+(``te_llama.py:76-81`` + TE internals). Here that is one pure function with a
+``custom_vjp``:
+
+  * forward operands quantized to ``recipe.fmt_fwd`` with *delayed* scales
+    passed in explicitly (from :mod:`.delayed` state);
+  * residuals saved **in FP8** (same memory saving TE gets);
+  * backward gradient quantized to ``recipe.fmt_bwd`` with just-in-time
+    scaling;
+  * new amax observations returned to the caller — the backward-pass amax
+    rides out through the cotangent of a zero-valued ``amax_sink`` argument,
+    so delayed state for gradients can be maintained without any mutable
+    buffers.
+
+The math here is the *semantics* path (quantize → dequantize → MXU bf16 dot),
+which XLA fuses well; the bandwidth-optimal fused dequant-matmul lives in
+``llm_fp8_tpu.kernels.quant_matmul`` and is dispatched for the serving path.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .formats import Format
+from .qtensor import QTensor, quantize, quantize_mx, compute_scale, MX_BLOCK
+from .recipe import Recipe
+
+__all__ = ["qdot", "fp8_dot", "DotAmaxes"]
+
+
+class DotAmaxes(NamedTuple):
+    """Amax observations from one quantized dot, fed back into delayed state.
+
+    ``g`` is only populated via the amax-sink cotangent (see module doc);
+    in the primal output it is zero.
+    """
+
+    x: jax.Array
+    w: jax.Array
+    g: jax.Array
+
+
+# --------------------------------------------------------------------------
+# Inference path: weight-only / weight+act dequant-matmul on a prequantized w.
+# --------------------------------------------------------------------------
+
+
+def qdot(x: jax.Array, w: QTensor, *, out_dtype=None) -> jax.Array:
+    """``x [..., K] @ w [K, N]`` with ``w`` stored quantized.
+
+    Per-tensor / per-output-channel scales are applied *after* the matmul
+    (mathematically exact, keeps the MXU operand narrow); block (MX) scales
+    vary along the contraction axis, so the operand is dequantized first and
+    XLA fuses the expand+multiply into the dot's operand read.
+    """
+    out_dtype = out_dtype or x.dtype
+    if w.block_size is None and _scale_is_post_applicable(w):
+        y = jnp.dot(
+            x, w.qvalue.astype(x.dtype), preferred_element_type=jnp.float32
+        )
+        # scale is () or [1, ..., N]: flatten so it broadcasts over y's last dim.
+        y = y * w.scale.astype(jnp.float32).reshape(-1)
+        return y.astype(out_dtype)
+    return jnp.dot(
+        x, w.dequantize(x.dtype), preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
+def _scale_is_post_applicable(w: QTensor) -> bool:
+    # Scale must be constant along the contraction (first) axis of w [K, N].
+    return w.scale.ndim == 0 or all(
+        d == 1 for d in w.scale.shape[:-1]
+    )
+
+
+# --------------------------------------------------------------------------
+# Training path: quantize-both-operands dot with custom VJP.
+# --------------------------------------------------------------------------
+
+
+def _q_fwd(t: jax.Array, recipe: Recipe, scale, contract_axis: int) -> QTensor:
+    """Quantize a forward operand according to the recipe granularity."""
+    if recipe.granularity == "block32":
+        return quantize_mx(t, recipe.fmt_fwd, block_axis=contract_axis,
+                           block_size=MX_BLOCK)
+    axes = None
+    if recipe.granularity == "channel":
+        axes = (contract_axis,)
+    return quantize(t, recipe.fmt_fwd, axes=axes, scale=scale,
+                    margin=recipe.margin)
+
+
+def _q_bwd(g: jax.Array, recipe: Recipe, contract_axis: int) -> QTensor:
+    """Quantize a gradient: just-in-time scale in the backward format."""
+    if (recipe.granularity == "block32"
+            and g.shape[contract_axis] % MX_BLOCK == 0):
+        return quantize_mx(g, recipe.fmt_bwd, block_axis=contract_axis,
+                           block_size=MX_BLOCK)
+    # Non-block recipes, and the block recipe on axes not divisible by the
+    # block size (e.g. a ragged batch axis in dw), use per-tensor scaling.
+    axes = (contract_axis,) if recipe.granularity == "channel" else None
+    return quantize(g, recipe.fmt_bwd, axes=axes, margin=recipe.margin)
+
+
+def _mx_or_tensor(t: jax.Array, fmt, block_axis: int) -> QTensor:
+    if t.shape[block_axis] % MX_BLOCK == 0:
+        return quantize_mx(t, fmt, block_axis=block_axis, block_size=MX_BLOCK)
+    return quantize(t, fmt)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fp8_dot(x, w, x_scale, w_scale, amax_sink, recipe: Recipe):
+    """FP8 training matmul: ``x [B, K] @ w [K, N] -> ([B, N], DotAmaxes)``.
+
+    ``x_scale`` / ``w_scale`` are delayed scales (scalars) from
+    :class:`~llm_fp8_tpu.quant.delayed.ScaleState`; pass ``None`` for
+    just-in-time scaling. ``amax_sink`` must be a zero scalar with
+    ``jnp.zeros(())``; its *gradient* after ``jax.grad`` equals the backward
+    amax observed for this dot.
+    """
+    y, amaxes = _fp8_dot_fwd_impl(x, w, x_scale, w_scale, recipe)
+    del amax_sink
+    return y, amaxes
+
+
+def _amax_of(t):
+    return jnp.max(jnp.abs(t.astype(jnp.float32)))
+
+
+def _fp8_dot_fwd_impl(x, w, x_scale, w_scale, recipe):
+    x_amax, w_amax = _amax_of(x), _amax_of(w)
+    wq = _q_fwd(w, recipe, w_scale, contract_axis=0)
+    if recipe.quantize_activations:
+        xq = _q_fwd(x, recipe, x_scale, contract_axis=x.ndim - 1)
+        xv = xq.dequantize(jnp.bfloat16)
+    else:
+        xv = x.astype(jnp.bfloat16)
+    y = jnp.dot(xv, wq.dequantize(jnp.bfloat16),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    return y, DotAmaxes(x=x_amax, w=w_amax, g=jnp.zeros((), jnp.float32))
+
+
+def _fp8_dot_fwd(x, w, x_scale, w_scale, amax_sink, recipe):
+    del amax_sink
+    x_amax, w_amax = _amax_of(x), _amax_of(w)
+    wq = _q_fwd(w, recipe, w_scale, contract_axis=0)
+    if recipe.quantize_activations:
+        xq = _q_fwd(x, recipe, x_scale, contract_axis=x.ndim - 1)
+        x_res = xq
+    else:
+        x_res = x
+    y = jnp.dot(
+        x_res.dequantize(jnp.bfloat16) if isinstance(x_res, QTensor)
+        else x_res.astype(jnp.bfloat16),
+        wq.dequantize(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    amaxes = DotAmaxes(x=x_amax, w=w_amax, g=jnp.zeros((), jnp.float32))
+    # Residuals are the FP8 payloads, not the bf16 operands — same activation
+    # memory saving TE realizes by saving quantized copies for backward.
+    # Zero-size arrays carry the operand dtypes (residual pytrees must be
+    # arrays, not dtype objects).
+    return (y, amaxes), (x_res, wq, jnp.zeros((0,), x.dtype), jnp.zeros((0,), w.dtype))
+
+
+def _fp8_dot_bwd(recipe: Recipe, res, cts):
+    x_res, wq, x_proto, w_proto = res
+    x_dtype, w_dtype = x_proto.dtype, w_proto.dtype
+    gy, _ = cts  # cotangent of amaxes is zero/unused
+    g_amax = _amax_of(gy)
+
+    xv = (x_res.dequantize(jnp.bfloat16) if isinstance(x_res, QTensor)
+          else x_res.astype(jnp.bfloat16))
+    wv = wq.dequantize(jnp.bfloat16)
+
+    # dx = g @ w^T — contraction over N, so the gradient quantizes with its
+    # blocks/channels along the last axis, and w is requantized transposed for
+    # the block recipe (TE keeps both orientations of each MX tensor).
+    gq_for_dx = _q_bwd(gy, recipe, contract_axis=gy.ndim - 1)
+    if recipe.granularity == "block32":
+        wT = _mx_or_tensor(wv.T.astype(jnp.float32), recipe.fmt_bwd,
+                           block_axis=wv.T.ndim - 1).dequantize(jnp.bfloat16)
+    else:
+        wT = wv.T
+    dx = jnp.dot(gq_for_dx.dequantize(jnp.bfloat16), wT,
+                 preferred_element_type=jnp.float32).astype(x_dtype)
+
+    # dw = x^T @ g — contraction over the batch axis.
+    x2 = xv.reshape(-1, xv.shape[-1])
+    g2 = gy.reshape(-1, gy.shape[-1]).astype(jnp.float32)
+    gq_for_dw = _q_bwd(g2, recipe, contract_axis=0)
+    if recipe.granularity == "block32":
+        xT = _mx_or_tensor(x2.T.astype(jnp.float32), recipe.fmt_bwd,
+                           block_axis=x2.T.ndim - 1).dequantize(jnp.bfloat16)
+    else:
+        xT = x2.T
+    dw = jnp.dot(xT, gq_for_dw.dequantize(jnp.bfloat16),
+                 preferred_element_type=jnp.float32).astype(w_dtype)
+
+    zero = jnp.zeros((), jnp.float32)
+    # The amax-sink "gradient" carries the observed backward amax out to the
+    # caller's delayed-scaling state.
+    return dx, dw, zero, zero, g_amax
+
+
+fp8_dot.defvjp(_fp8_dot_fwd, _fp8_dot_bwd)

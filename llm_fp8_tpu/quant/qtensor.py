@@ -1,0 +1,189 @@
+"""QTensor: a quantized array + scale metadata as a JAX pytree.
+
+This replaces the mutable FP8 tensor state that NVIDIA Transformer Engine keeps
+inside module buffers behind ``fp8_autocast`` (reference: ``te_llama.py:76-81``).
+Here quantized values and their scales are an explicit, immutable pytree that
+flows through ``jit`` like any other array — scales live in checkpoints or in
+the train state, never in hidden module state.
+
+Scale convention: ``x ≈ qvalue.astype(f32) * spread(scale)`` — dequantization
+multiplies. Quantization divides by the same scale.
+
+Three granularities (mirrors the reference's three recipes, §2a #5-7 of
+SURVEY.md):
+  * per-tensor  — one scalar scale (TE DelayedScaling).
+  * per-axis    — one scale per slice along given axes (a TPU-friendly upgrade
+                  the reference lacks; cheap on the VPU, much tighter error).
+  * block       — one power-of-two scale per ``block_size`` contiguous elements
+                  along one axis (OCP MXFP8, TE MXFP8BlockScaling,
+                  ``te_llama_mxfp8.py:28-29``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .formats import Format, E4M3, E8M0
+
+__all__ = [
+    "QTensor",
+    "quantize",
+    "quantize_mx",
+    "dequantize",
+    "compute_scale",
+    "MX_BLOCK",
+]
+
+#: OCP MX block size: one shared scale per 32 contiguous elements.
+MX_BLOCK = 32
+
+# Smallest normal we allow in an amax before the scale computation; avoids
+# log2(0) / division by zero for all-zero tensors.
+_TINY = 1e-12
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QTensor:
+    """Quantized tensor: fp8 payload + scale, registered as a pytree.
+
+    ``scale`` must be broadcast-compatible with ``qvalue`` after block
+    expansion: for per-tensor it is shape ``()`` (stored ``(1,)*ndim``), for
+    per-axis it has 1s on the reduced axes, for block scaling it has
+    ``shape[block_axis] // block_size`` along ``block_axis``.
+    """
+
+    qvalue: jax.Array
+    scale: jax.Array
+    fmt: Format = dataclasses.field(metadata=dict(static=True))
+    block_size: Optional[int] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    block_axis: Optional[int] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+
+    @property
+    def shape(self):
+        return self.qvalue.shape
+
+    @property
+    def dtype(self):
+        return self.qvalue.dtype
+
+    @property
+    def ndim(self):
+        return self.qvalue.ndim
+
+    def spread_scale(self) -> jax.Array:
+        """Scale expanded so it broadcasts elementwise against ``qvalue``."""
+        scale = self.scale.astype(jnp.float32)
+        if self.block_size is None:
+            return scale
+        return jnp.repeat(scale, self.block_size, axis=self.block_axis)
+
+    def dequantize(self, dtype=jnp.float32) -> jax.Array:
+        return (self.qvalue.astype(jnp.float32) * self.spread_scale()).astype(dtype)
+
+    def nbytes(self) -> int:
+        return self.qvalue.size * self.qvalue.dtype.itemsize + self.scale.size * self.scale.dtype.itemsize
+
+
+def compute_scale(amax: jax.Array, fmt: Format, margin: int = 0) -> jax.Array:
+    """Scale from an amax: ``scale = amax / fmt.max * 2^margin``.
+
+    ``margin`` backs the quantization range off by ``margin`` powers of two
+    (TE's ``margin`` knob, reference ``train_fp8.py:159-165``) as headroom
+    against inter-step amax growth under delayed scaling.
+    """
+    amax = jnp.maximum(jnp.asarray(amax, jnp.float32), _TINY)
+    return amax / fmt.max * (2.0 ** margin)
+
+
+def _amax(x: jax.Array, axes: Optional[Sequence[int]]) -> jax.Array:
+    a = jnp.abs(x.astype(jnp.float32))
+    if axes is None:
+        return jnp.max(a)
+    return jnp.max(a, axis=tuple(axes), keepdims=True)
+
+
+def quantize(
+    x: jax.Array,
+    fmt: Format = E4M3,
+    *,
+    axes: Optional[Sequence[int]] = None,
+    scale: Optional[jax.Array] = None,
+    margin: int = 0,
+) -> QTensor:
+    """Per-tensor (``axes=None``) or per-axis quantization.
+
+    ``axes`` are the axes *reduced over* when computing the amax — e.g. for a
+    weight ``[in, out]`` contracted over ``in``, ``axes=(0,)`` gives one scale
+    per output channel. Pass ``scale`` to reuse a precomputed (e.g. delayed)
+    scale instead of the just-in-time amax.
+    """
+    x32 = x.astype(jnp.float32)
+    if scale is None:
+        scale = compute_scale(_amax(x32, axes), fmt, margin)
+    else:
+        scale = jnp.asarray(scale, jnp.float32)
+    # Clip into the representable range: values that outgrow a delayed scale
+    # must saturate, not overflow to inf/nan (e4m3fn has no inf encoding).
+    q = jnp.clip(x32 / scale, -fmt.max, fmt.max).astype(fmt.dtype)
+    if scale.ndim == 0:
+        scale = scale.reshape((1,) * x.ndim)
+    return QTensor(qvalue=q, scale=scale, fmt=fmt)
+
+
+def quantize_mx(
+    x: jax.Array,
+    fmt: Format = E4M3,
+    *,
+    block_axis: int = -1,
+    block_size: int = MX_BLOCK,
+) -> QTensor:
+    """OCP MX block quantization: shared power-of-two scale per block.
+
+    Matches TE's ``MXFP8BlockScaling`` semantics (32-element blocks, E8M0
+    scales; reference ``te_llama_mxfp8.py:28-29``): the shared exponent is
+    chosen so the block amax maps onto the element format's largest
+    power-of-two, i.e. ``shared_exp = floor(log2(amax)) - emax(fmt)``.
+    """
+    block_axis = block_axis % x.ndim
+    n = x.shape[block_axis]
+    if n % block_size != 0:
+        raise ValueError(
+            f"axis {block_axis} size {n} not divisible by block_size {block_size}"
+        )
+    x32 = x.astype(jnp.float32)
+    # [..., n, ...] -> [..., n//B, B, ...] with the block dim right after axis.
+    split_shape = (
+        x.shape[:block_axis] + (n // block_size, block_size) + x.shape[block_axis + 1 :]
+    )
+    xb = x32.reshape(split_shape)
+    amax = jnp.max(jnp.abs(xb), axis=block_axis + 1)
+    # Power-of-two shared scale (exact in e8m0).
+    emax_elem = jnp.floor(jnp.log2(jnp.asarray(fmt.max, jnp.float32)))
+    shared_exp = jnp.floor(jnp.log2(jnp.maximum(amax, _TINY))) - emax_elem
+    # e8m0 exponent range is [-127, 127]; clamp so the stored scale round-trips.
+    shared_exp = jnp.clip(shared_exp, -127.0, 127.0)
+    scale = jnp.exp2(shared_exp)
+    q = jnp.clip(xb / jnp.expand_dims(scale, block_axis + 1), -fmt.max, fmt.max)
+    q = q.astype(fmt.dtype).reshape(x.shape)
+    # E8M0 semantics (pure power-of-two shared exponent) stored as bfloat16:
+    # bf16 has the full f32 exponent range so every e8m0 value round-trips
+    # exactly, and — unlike f8e8m0 — the TPU compiler supports it natively.
+    return QTensor(
+        qvalue=q,
+        scale=scale.astype(jnp.bfloat16),
+        fmt=fmt,
+        block_size=block_size,
+        block_axis=block_axis,
+    )
+
+
+def dequantize(q: QTensor, dtype=jnp.float32) -> jax.Array:
+    return q.dequantize(dtype)

@@ -1,0 +1,144 @@
+"""FP8 recipes as data.
+
+The reference implements its three recipes as TE recipe *objects* applied via
+``fp8_autocast`` context managers, with the layer-wise assignment expressed by
+opening two different scopes per decoder layer (attention under HYBRID, MLP
+under E4M3 — reference ``te_llama.py:39-40,76-81``). Here a recipe is a frozen
+dataclass and the layer-wise assignment is a declarative table mapping module
+roles to recipes; the model code looks its recipe up by role, nothing is
+context-dependent.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Literal, Optional
+
+from .formats import Format, E4M3, E5M2
+
+__all__ = [
+    "Recipe",
+    "RecipeSet",
+    "DELAYED_E4M3",
+    "DELAYED_HYBRID",
+    "MXFP8",
+    "LAYERWISE",
+    "UNIFORM_HYBRID",
+    "MXFP8_SET",
+    "BF16_SET",
+    "recipe_set_by_name",
+]
+
+Granularity = Literal["tensor", "channel", "block32"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Recipe:
+    """How one tensor class (weights / activations / gradients) is quantized.
+
+    ``fmt_fwd`` applies to forward tensors (weights, activations), ``fmt_bwd``
+    to gradients flowing in the backward pass — the E4M3/E5M2 split is TE's
+    ``Format.HYBRID`` (reference ``te_llama_hybrid.py:39``).
+    Delayed-scaling knobs mirror ``train_fp8.py:159-165``:
+    ``amax_history_len=16, amax_compute='max', margin=0``.
+    """
+
+    granularity: Granularity = "tensor"
+    fmt_fwd: Format = E4M3
+    fmt_bwd: Format = E5M2
+    amax_history_len: int = 16
+    amax_compute: Literal["max", "most_recent"] = "max"
+    margin: int = 0
+    # Quantize activations (not just weights). Weight-only FP8 is the
+    # bandwidth-bound serving recipe; weights+activations is the training one.
+    quantize_activations: bool = True
+
+    def with_(self, **kw) -> "Recipe":
+        return dataclasses.replace(self, **kw)
+
+
+#: TE ``DelayedScaling(fp8_format=E4M3)`` — everything e4m3, incl. gradients.
+DELAYED_E4M3 = Recipe(fmt_fwd=E4M3, fmt_bwd=E4M3)
+
+#: TE ``DelayedScaling(fp8_format=HYBRID)`` — e4m3 fwd, e5m2 grads.
+DELAYED_HYBRID = Recipe(fmt_fwd=E4M3, fmt_bwd=E5M2)
+
+#: TE ``MXFP8BlockScaling(fp8_format=E4M3)`` — 32-elem power-of-two blocks.
+MXFP8 = Recipe(granularity="block32", fmt_fwd=E4M3, fmt_bwd=E4M3)
+
+
+@dataclasses.dataclass(frozen=True)
+class RecipeSet:
+    """Maps module roles to recipes; ``None`` role entry = keep high precision.
+
+    Roles used by the model layer: ``attn_qkv``, ``attn_out``, ``mlp``,
+    ``kv_cache``, ``lm_head``, ``embed``. ``default`` covers unlisted roles.
+    """
+
+    name: str
+    default: Optional[Recipe]
+    overrides: Dict[str, Optional[Recipe]] = dataclasses.field(default_factory=dict)
+
+    def for_role(self, role: str) -> Optional[Recipe]:
+        if role in self.overrides:
+            return self.overrides[role]
+        return self.default
+
+    @property
+    def enabled(self) -> bool:
+        return self.default is not None or any(
+            r is not None for r in self.overrides.values()
+        )
+
+
+# The paper's layer-wise assignment ("our fp8 method", te_llama.py:39-40):
+# attention under HYBRID delayed scaling, MLP under pure-E4M3 delayed scaling.
+# Embeddings and the LM head stay high precision (TE never wraps them either).
+LAYERWISE = RecipeSet(
+    name="layerwise",
+    default=None,
+    overrides={
+        "attn_qkv": DELAYED_HYBRID,
+        "attn_out": DELAYED_HYBRID,
+        "mlp": DELAYED_E4M3,
+        "kv_cache": DELAYED_E4M3,
+    },
+)
+
+#: Uniform HYBRID delayed scaling on every matmul (te_llama_hybrid.py:39).
+UNIFORM_HYBRID = RecipeSet(
+    name="hybrid",
+    default=None,
+    overrides={
+        "attn_qkv": DELAYED_HYBRID,
+        "attn_out": DELAYED_HYBRID,
+        "mlp": DELAYED_HYBRID,
+        "kv_cache": DELAYED_HYBRID,
+    },
+)
+
+#: MXFP8 block scaling on every matmul (te_llama_mxfp8.py:28-29).
+MXFP8_SET = RecipeSet(
+    name="mxfp8",
+    default=None,
+    overrides={
+        "attn_qkv": MXFP8,
+        "attn_out": MXFP8,
+        "mlp": MXFP8,
+        "kv_cache": DELAYED_E4M3,
+    },
+)
+
+#: No quantization anywhere — the bf16 baseline.
+BF16_SET = RecipeSet(name="bf16", default=None, overrides={})
+
+_SETS = {s.name: s for s in (LAYERWISE, UNIFORM_HYBRID, MXFP8_SET, BF16_SET)}
+# CLI-compatible aliases: the reference calls the layer-wise recipe "default"
+# (fp8_scenario ∈ {default, mxfp8, hybrid}, train_fp8.py:103-116).
+_SETS["default"] = LAYERWISE
+
+
+def recipe_set_by_name(name: str) -> RecipeSet:
+    try:
+        return _SETS[name]
+    except KeyError:
+        raise ValueError(f"unknown recipe set {name!r}; known: {sorted(_SETS)}")

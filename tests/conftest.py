@@ -1,0 +1,28 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's strategy of testing distributed code single-host
+(``torchrun --nproc_per_node=8 pytest`` in
+``flash-attention-2.8.0/tests/modules/test_mha_parallel.py:1-2``) — but the
+GSPMD equivalent needs no process launcher: XLA's CPU backend fakes N devices
+in one process via ``--xla_force_host_platform_device_count``.
+
+Set ``LLM_FP8_TEST_TPU=1`` to run the suite on the real TPU backend instead
+(slower: every compile goes through the remote compile helper).
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+if not os.environ.get("LLM_FP8_TEST_TPU"):
+    # The axon sitecustomize registers the TPU backend before conftest runs;
+    # jax.config still lets us pick the platform as long as no computation has
+    # been dispatched yet.
+    jax.config.update("jax_platforms", "cpu")
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,243 @@
+"""Unit tests for the FP8 numerics core.
+
+Testing idiom follows the reference's kernel test strategy (SURVEY.md §4):
+every quantized op is checked against a golden fp32 composition, parametrized
+over format/granularity axes, with explicit error-bound assertions.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_fp8_tpu.quant import (
+    E4M3,
+    E5M2,
+    DELAYED_E4M3,
+    DELAYED_HYBRID,
+    MXFP8,
+    DotAmaxes,
+    QTensor,
+    quantize,
+    quantize_mx,
+    compute_scale,
+    init_scale_state,
+    observe_amax,
+    qdot,
+    fp8_dot,
+    recipe_set_by_name,
+    LAYERWISE,
+)
+
+
+def rand(key, shape, scale=1.0):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32) * scale
+
+
+class TestQuantizeRoundTrip:
+    @pytest.mark.parametrize("fmt", [E4M3, E5M2])
+    @pytest.mark.parametrize("magnitude", [1e-3, 1.0, 1e3])
+    def test_per_tensor(self, fmt, magnitude):
+        x = rand(0, (64, 128), magnitude)
+        q = quantize(x, fmt)
+        xd = q.dequantize()
+        # Relative error bounded by format epsilon (e4m3: 2^-3, e5m2: 2^-2)
+        # against the tensor's amax (per-tensor scaling gives absolute bounds).
+        eps = 2.0 ** -3 if fmt is E4M3 else 2.0 ** -2
+        bound = eps * jnp.max(jnp.abs(x)) / fmt.max * fmt.max  # = eps * amax... scaled
+        err = jnp.max(jnp.abs(xd - x))
+        assert err <= eps * jnp.max(jnp.abs(x)), (err, magnitude)
+
+    def test_per_channel_tighter_than_per_tensor(self):
+        # A huge outlier column pushes the per-tensor scale so high the other
+        # columns underflow into e4m3 subnormals; per-channel scales isolate it.
+        # (fp8 is a float format, so this only bites once values cross the
+        # subnormal boundary — hence the 1e6 outlier.)
+        x = rand(1, (128, 64))
+        x = x.at[:, 0].multiply(1e6)
+        pt = quantize(x, E4M3).dequantize()
+        pc = quantize(x, E4M3, axes=(0,)).dequantize()
+        err_pt = jnp.mean(jnp.abs(pt - x)[:, 1:])
+        err_pc = jnp.mean(jnp.abs(pc - x)[:, 1:])
+        assert err_pc < err_pt / 10
+
+    def test_zero_tensor(self):
+        q = quantize(jnp.zeros((8, 32)), E4M3)
+        assert jnp.all(jnp.isfinite(q.dequantize()))
+        assert jnp.all(q.dequantize() == 0)
+
+    def test_saturation_no_nan(self):
+        # e4m3fn has no inf; values above amax*scale must clip, not overflow.
+        x = jnp.array([[1e6, -1e6, 1.0, 0.0]], jnp.float32)
+        q = quantize(x, E4M3, scale=jnp.ones(()))
+        assert jnp.all(jnp.isfinite(q.dequantize()))
+        np.testing.assert_allclose(q.dequantize()[0, :2], [448.0, -448.0])
+
+
+class TestMX:
+    def test_round_trip(self):
+        x = rand(2, (64, 128))
+        q = quantize_mx(x, E4M3, block_axis=-1)
+        assert q.scale.shape == (64, 4)
+        assert q.scale.dtype == jnp.bfloat16  # e8m0 semantics, bf16 storage
+        xd = q.dequantize()
+        assert jnp.max(jnp.abs(xd - x)) <= 2.0 ** -3 * jnp.max(jnp.abs(x))
+
+    def test_scales_are_powers_of_two(self):
+        x = rand(3, (32, 64), 7.3)
+        q = quantize_mx(x, E4M3, block_axis=0)
+        s = q.scale.astype(jnp.float32)
+        log = jnp.log2(s)
+        np.testing.assert_allclose(log, jnp.round(log), atol=0)
+
+    def test_block_isolation(self):
+        # An outlier in one block must not affect other blocks' precision.
+        x = jnp.ones((1, 64), jnp.float32)
+        x = x.at[0, 0].set(10000.0)
+        q = quantize_mx(x, E4M3, block_axis=-1)
+        xd = q.dequantize()
+        np.testing.assert_allclose(xd[0, 32:], 1.0, rtol=1e-6)
+
+    def test_block_axis_0(self):
+        x = rand(4, (64, 16))
+        q = quantize_mx(x, E4M3, block_axis=0)
+        assert q.scale.shape == (2, 16)
+        assert jnp.max(jnp.abs(q.dequantize() - x)) <= 0.15 * jnp.max(jnp.abs(x))
+
+    def test_indivisible_raises(self):
+        with pytest.raises(ValueError):
+            quantize_mx(jnp.ones((8, 33)), E4M3, block_axis=-1)
+
+
+class TestQTensorPytree:
+    def test_jit_through(self):
+        x = rand(5, (32, 32))
+        q = quantize(x, E4M3)
+
+        @jax.jit
+        def deq(q):
+            return q.dequantize()
+
+        np.testing.assert_allclose(deq(q), q.dequantize())
+
+    def test_tree_map(self):
+        q = quantize(rand(6, (16, 16)), E4M3)
+        leaves = jax.tree_util.tree_leaves(q)
+        assert len(leaves) == 2  # qvalue + scale; fmt is static
+
+
+class TestDelayedScaling:
+    def test_history_roll_and_max(self):
+        st = init_scale_state(4)
+        for amax in [1.0, 4.0, 2.0]:
+            st = observe_amax(st, amax, E4M3)
+        np.testing.assert_allclose(st.history, [2.0, 4.0, 1.0, 0.0])
+        np.testing.assert_allclose(st.scale, 4.0 / 448.0, rtol=1e-6)
+
+    def test_most_recent(self):
+        st = init_scale_state(4)
+        for amax in [8.0, 2.0]:
+            st = observe_amax(st, amax, E4M3, amax_compute="most_recent")
+        np.testing.assert_allclose(st.scale, 2.0 / 448.0, rtol=1e-6)
+
+    def test_margin(self):
+        np.testing.assert_allclose(
+            compute_scale(jnp.float32(448.0), E4M3, margin=2), 4.0, rtol=1e-6
+        )
+
+
+class TestQdot:
+    @pytest.mark.parametrize("granularity", ["tensor", "channel", "mx"])
+    def test_matches_dequant_matmul(self, granularity):
+        x = rand(7, (8, 256)).astype(jnp.bfloat16)
+        w = rand(8, (256, 128))
+        if granularity == "mx":
+            wq = quantize_mx(w, E4M3, block_axis=0)
+        elif granularity == "channel":
+            wq = quantize(w, E4M3, axes=(0,))
+        else:
+            wq = quantize(w, E4M3)
+        got = qdot(x, wq)
+        want = jnp.dot(x.astype(jnp.float32), wq.dequantize())
+        np.testing.assert_allclose(
+            got.astype(jnp.float32), want, rtol=0.05, atol=0.5
+        )
+
+    def test_close_to_fp32(self):
+        x = rand(9, (8, 256)).astype(jnp.bfloat16)
+        w = rand(10, (256, 128), 0.02)
+        got = qdot(x, quantize(w, E4M3, axes=(0,)))
+        want = jnp.dot(x.astype(jnp.float32), w)
+        # fp8 weight quantization error on a GEMM this size: few % relative.
+        rel = jnp.linalg.norm(got.astype(jnp.float32) - want) / jnp.linalg.norm(want)
+        assert rel < 0.05, rel
+
+
+class TestFp8DotTraining:
+    @pytest.mark.parametrize("recipe", [DELAYED_E4M3, DELAYED_HYBRID, MXFP8],
+                             ids=["e4m3", "hybrid", "mxfp8"])
+    def test_forward_close_and_grads_flow(self, recipe):
+        x = rand(11, (32, 256), 0.5)
+        w = rand(12, (256, 128), 0.05)
+
+        def loss(x, w, sink):
+            y, amaxes = fp8_dot(x, w, None, None, sink, recipe)
+            return jnp.sum(y.astype(jnp.float32) ** 2), amaxes
+
+        (val, amaxes), grads = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                                  has_aux=True)(
+            x, w, jnp.zeros(()))
+        want = jnp.sum(jnp.dot(x, w) ** 2)
+        assert abs(val - want) / want < 0.15
+        dx, dw, g_amax = grads
+        assert dx.shape == x.shape and dw.shape == w.shape
+        assert jnp.all(jnp.isfinite(dx)) and jnp.all(jnp.isfinite(dw))
+        # Amax carrier: primal outputs x/w amaxes, sink gradient carries g amax.
+        np.testing.assert_allclose(amaxes.x, jnp.max(jnp.abs(x)), rtol=1e-6)
+        np.testing.assert_allclose(amaxes.w, jnp.max(jnp.abs(w)), rtol=1e-6)
+        assert g_amax > 0
+
+    def test_grads_close_to_unquantized(self):
+        x = rand(13, (16, 128), 0.3)
+        w = rand(14, (128, 64), 0.05)
+
+        def qloss(x, w):
+            y, _ = fp8_dot(x, w, None, None, jnp.zeros(()), DELAYED_HYBRID)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        def loss(x, w):
+            return jnp.sum(jnp.dot(x, w) ** 2)
+
+        gq = jax.grad(qloss, argnums=(0, 1))(x, w)
+        g = jax.grad(loss, argnums=(0, 1))(x, w)
+        for a, b in zip(gq, g):
+            rel = jnp.linalg.norm(a - b) / jnp.linalg.norm(b)
+            assert rel < 0.15, rel
+
+    def test_delayed_scale_used(self):
+        # With an explicit tiny scale the quantization must saturate: check
+        # the passed-in scale is actually respected.
+        x = jnp.ones((4, 32), jnp.float32) * 100.0
+        w = jnp.eye(32, dtype=jnp.float32)
+        recipe = DELAYED_E4M3
+        y, _ = fp8_dot(x, w, jnp.float32(1.0 / 448.0), jnp.float32(1.0),
+                       jnp.zeros(()), recipe)
+        # x/scale = 100*448 -> clipped to 448 -> dequant = 1.0
+        np.testing.assert_allclose(y[0, 0], 1.0, rtol=0.01)
+
+
+class TestRecipeSets:
+    def test_layerwise_assignment(self):
+        rs = recipe_set_by_name("default")
+        assert rs is LAYERWISE
+        assert rs.for_role("mlp").fmt_bwd is E4M3  # pure E4M3 for MLP
+        assert rs.for_role("attn_qkv").fmt_bwd is E5M2  # HYBRID for attention
+        assert rs.for_role("lm_head") is None  # high precision
+
+    def test_all_names(self):
+        for name in ["default", "layerwise", "hybrid", "mxfp8", "bf16"]:
+            recipe_set_by_name(name)
+        with pytest.raises(ValueError):
+            recipe_set_by_name("nope")
+
+    def test_bf16_disabled(self):
+        assert not recipe_set_by_name("bf16").enabled
