@@ -244,11 +244,11 @@ def _layer_body(
             v_cache, v_store, (0, start_pos, 0, 0)
         )
         # …then attend over the whole (masked) cache.
-        k_all = k_cache.astype(jnp.bfloat16)
-        v_all = v_cache.astype(jnp.bfloat16)
+        k_all = k_cache.astype(q.dtype)
+        v_all = v_cache.astype(q.dtype)
         if k_cache.dtype != kk.dtype:
-            k_all = k_all * k_scale.astype(jnp.bfloat16)
-            v_all = v_all * v_scale.astype(jnp.bfloat16)
+            k_all = k_all * k_scale.astype(q.dtype)
+            v_all = v_all * v_scale.astype(q.dtype)
         attn = attention(
             q, k_all, v_all, causal=True, q_offset=start_pos,
             kv_lens=kv_lens, impl=attn_impl,
@@ -277,6 +277,7 @@ def forward(
     kv_lens: Optional[jax.Array] = None,
     attn_impl: str = "auto",
     unroll: int = 1,
+    compute_dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Forward pass: ``tokens [B, S] -> (logits [B, S, V], updated cache)``.
 
@@ -286,7 +287,7 @@ def forward(
       * decode: ``S == 1`` with ``start_pos = cache.lens`` semantics
         (``kv_lens`` masks the unwritten tail of the arena).
     """
-    x = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    x = jnp.take(params["embed"], tokens, axis=0).astype(compute_dtype)
     B, S = tokens.shape
 
     start_pos = jnp.asarray(start_pos, jnp.int32)

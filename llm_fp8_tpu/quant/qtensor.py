@@ -176,12 +176,16 @@ def quantize_mx(
     # E8M0 semantics (pure power-of-two shared exponent) stored as bfloat16:
     # bf16 has the full f32 exponent range so every e8m0 value round-trips
     # exactly, and — unlike f8e8m0 — the TPU compiler supports it natively.
+    #
+    # block_axis is stored negative (relative to the trailing dims) so the
+    # QTensor stays valid when leading axes are sliced away — e.g. lax.scan
+    # peeling one layer off a stacked [L, K, N] weight leaf.
     return QTensor(
         qvalue=q,
         scale=scale.astype(jnp.bfloat16),
         fmt=fmt,
         block_size=block_size,
-        block_axis=block_axis,
+        block_axis=block_axis - x.ndim,
     )
 
 
