@@ -1,0 +1,242 @@
+"""Pallas flash-attention forward kernel for TPU.
+
+TPU-native equivalent of the reference's FA2/FA3 forward kernels
+(``csrc/flash_attn/src/flash_fwd_kernel.h:52`` ``compute_attn_1rowblock``;
+``hopper/mainloop_fwd_sm90_tma_gmma_ws.hpp:34``): tiled online-softmax
+attention that never materializes the [Sq, Sk] score matrix. Design follows
+the canonical JAX TPU flash kernel (grid over batch × head × Q-tile × KV-tile,
+fp32 m/l/acc scratch in VMEM, causal tile skipping) rather than the CUDA
+warp-specialization, which has no TPU analogue — the Mosaic compiler does the
+pipelining that TMA/WGMMA scheduling does by hand on Hopper.
+
+Supported (parity with ``flash_attn_func`` / ``flash_attn_with_kvcache``
+essentials): GQA/MQA via head-index mapping (no K/V repeat materialized),
+causal masking with absolute ``q_offset`` (decode against a cache), per-batch
+``kv_lens`` masking, sliding window, softcap, logit scale.
+
+The same kernel serves prefill (Sq large) and single-token decode (Sq padded
+to one Q tile): decode is HBM-bandwidth-bound streaming K/V, so the padded
+rows ride along free on the MXU's minimum tile.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention"]
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+# -0.7 * f32_max, not -inf: exp(-inf - (-inf)) would NaN in the online update.
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    q_offset_ref,  # [1] absolute position of q row 0
+    kv_lens_ref,  # [B] valid KV length per batch
+    # blocked inputs
+    q_ref,  # [1, 1, bq, D]
+    k_ref,  # [1, 1, D, bk] — K stored contraction-major (Mosaic bf16 matmul
+    #         requires the contraction on the sublane axis of the rhs)
+    v_ref,  # [1, 1, bk, D]
+    # blocked output
+    o_ref,  # [1, 1, bq, D]
+    # scratch
+    m_ref,  # [bq, 128] f32
+    l_ref,  # [bq, 128] f32
+    acc_ref,  # [bq, D] f32
+    *,
+    scale: float,
+    causal: bool,
+    window: Optional[int],
+    softcap: Optional[float],
+    block_q: int,
+    block_k: int,
+    num_k_tiles: int,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    q_off = q_offset_ref[0]
+    kv_len = kv_lens_ref[b]
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Tile-level skip: this KV tile contributes iff some (q, k) pair is live.
+    k_min = ki * block_k
+    run = k_min < kv_len  # beyond the valid cache → dead tile
+    if causal:
+        # Largest absolute q position in this tile must reach the tile's k_min.
+        q_max = q_off + qi * block_q + block_q - 1
+        run = jnp.logical_and(run, q_max >= k_min)
+    if window is not None:
+        # Smallest q position must not have scrolled past the tile's k_max.
+        q_min = q_off + qi * block_q
+        run = jnp.logical_and(run, k_min + block_k - 1 > q_min - window)
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0]  # [bq, D]
+        k = k_ref[0, 0]  # [D, bk]
+        s = jax.lax.dot(q, k, preferred_element_type=jnp.float32)  # [bq, bk]
+        s *= scale
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+
+        q_pos = (
+            q_off + qi * block_q
+            + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        )
+        k_pos = k_min + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = k_pos < kv_len
+        if causal:
+            mask &= k_pos <= q_pos
+        if window is not None:
+            mask &= k_pos > q_pos - window
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_prev = m_ref[...][:, :1]  # [bq, 1]
+        l_prev = l_ref[...][:, :1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)  # [bq, bk]
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+        v = v_ref[0, 0]  # [bk, D]
+        pv = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        # Deferred normalization: accumulate unnormalized, divide at the end.
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(ki == num_k_tiles - 1)
+    def _finalize():
+        l = l_ref[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, rem)
+    return jnp.pad(x, pads)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "window", "softcap", "scale", "block_q", "block_k",
+        "interpret",
+    ),
+)
+def flash_attention(
+    q: jax.Array,  # [B, Sq, Hq, D]
+    k: jax.Array,  # [B, Sk, Hk, D]
+    v: jax.Array,  # [B, Sk, Hk, D]
+    *,
+    causal: bool = True,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    scale: Optional[float] = None,
+    q_offset: int | jax.Array = 0,
+    kv_lens: Optional[jax.Array] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Flash attention over bshd tensors; semantics of
+    :func:`llm_fp8_tpu.ops.attention.attention_ref`.
+
+    ``interpret=None`` auto-selects Pallas interpreter mode off-TPU so the
+    same code path is testable on the CPU backend.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, Sq, Hq, D = q.shape
+    _, Sk, Hk, _ = k.shape
+    assert Hq % Hk == 0, (Hq, Hk)
+    groups = Hq // Hk
+    scale = scale if scale is not None else D ** -0.5
+
+    if kv_lens is None:
+        kv_lens = jnp.full((B,), Sk, jnp.int32)
+    q_offset = jnp.asarray(q_offset, jnp.int32).reshape(1)
+
+    # bhsd layout inside the kernel (K contraction-major: [B, Hk, D, Sk]);
+    # pad seq dims to tile multiples.
+    qt = _pad_to(q.transpose(0, 2, 1, 3), 2, block_q)
+    kt = _pad_to(k.transpose(0, 2, 3, 1), 3, block_k)
+    vt = _pad_to(v.transpose(0, 2, 1, 3), 2, block_k)
+    Sq_p, Sk_p = qt.shape[2], kt.shape[3]
+    num_k_tiles = Sk_p // block_k
+
+    grid = (B, Hq, Sq_p // block_q, num_k_tiles)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        scale=scale,
+        causal=causal,
+        window=window,
+        softcap=softcap,
+        block_q=block_q,
+        block_k=block_k,
+        num_k_tiles=num_k_tiles,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            # Index maps receive the scalar-prefetch refs as trailing args.
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, D), lambda b, h, qi, ki, *_: (b, h, qi, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, D, block_k),
+                    lambda b, h, qi, ki, *_: (b, h // groups, 0, ki),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_k, D),
+                    lambda b, h, qi, ki, *_: (b, h // groups, ki, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, D), lambda b, h, qi, ki, *_: (b, h, qi, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_offset, kv_lens, qt, kt, vt)
+
+    return out[:, :, :Sq].transpose(0, 2, 1, 3)

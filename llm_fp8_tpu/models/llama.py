@@ -139,6 +139,54 @@ def _dot(x: jax.Array, w) -> jax.Array:
     )
 
 
+#: The four quantized-GEMM sites per decoder layer — the same GEMMs TE
+#: intercepts inside its two fp8_autocast scopes (te_llama.py:76-81):
+#: QKV projection, attention out-projection, MLP fc1 (gate|up), MLP fc2.
+DOT_SITES = ("attn_qkv", "attn_out", "mlp_gate_up", "mlp_down")
+
+#: Dot site -> recipe-set role (both MLP matmuls share the "mlp" recipe,
+#: matching the reference's single LayerNormMLP autocast scope).
+SITE_ROLE = {
+    "attn_qkv": "attn_qkv",
+    "attn_out": "attn_out",
+    "mlp_gate_up": "mlp",
+    "mlp_down": "mlp",
+}
+
+
+def _make_train_dots(recipes, scales, sinks):
+    """Build per-site dot closures for the FP8 training path.
+
+    ``scales[site]`` = (x_scale, w_scale) delayed scalars for this layer;
+    ``sinks[site]`` = zero scalar whose cotangent carries the bwd amax.
+    Returns closures mapping (x, w) -> (y, DotAmaxes).
+    """
+    from llm_fp8_tpu.quant.dot import fp8_dot, DotAmaxes  # noqa: F401
+
+    dots = {}
+    for site in DOT_SITES:
+        recipe = recipes.for_role(SITE_ROLE[site]) if recipes else None
+        if recipe is None:
+
+            def plain(x, w):
+                # Zero amaxes keep the scan-collected pytree uniform across
+                # quantized and high-precision sites.
+                z = jnp.zeros((), jnp.float32)
+                return _dot(x, w), DotAmaxes(z, z, z)
+
+            dots[site] = plain
+        else:
+
+            def quantized(x, w, recipe=recipe, site=site):
+                x2 = x.reshape(-1, x.shape[-1])
+                x_s, w_s = scales[site]
+                y, amaxes = fp8_dot(x2, w, x_s, w_s, sinks[site], recipe)
+                return y.reshape(*x.shape[:-1], w.shape[-1]).astype(x.dtype), amaxes
+
+            dots[site] = quantized
+    return dots
+
+
 # --------------------------------------------------------------------------
 # KV cache
 # --------------------------------------------------------------------------
@@ -205,18 +253,24 @@ def _layer_body(
     start_pos: jax.Array,
     kv_lens: Optional[jax.Array],
     attn_impl: str,
+    dots=None,
 ):
-    """One decoder layer. Returns (x_out, (new_k, new_v)).
+    """One decoder layer. Returns (x_out, (new_k, new_v), amaxes).
 
     ``cache_kv``: (k_cache [B,S,Hk,Dh], v_cache, k_scale, v_scale) for this
     layer, or None for cache-less training/eval forward.
+    ``dots``: per-site dot closures for the FP8 training path (see
+    ``_make_train_dots``); None = plain/prequantized dots, no amaxes.
     """
     B, S, D = x.shape
     Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if dots is None:
+        dots = {s: (lambda x, w: (_dot(x, w), None)) for s in DOT_SITES}
+    amaxes = {}
 
     # --- attention block ---
     h = rmsnorm(x, lp["norm_attn"], cfg.rms_eps)
-    qkv = _dot(h, lp["wqkv"])
+    qkv, amaxes["attn_qkv"] = dots["attn_qkv"](h, lp["wqkv"])
     if "bqkv" in lp:
         qkv = qkv + lp["bqkv"].astype(qkv.dtype)
     q, kk, vv = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
@@ -256,15 +310,17 @@ def _layer_body(
         new_kv = (k_cache, v_cache)
 
     attn = attn.reshape(B, S, Hq * Dh)
-    x = x + _dot(attn, lp["wo"])
+    o, amaxes["attn_out"] = dots["attn_out"](attn, lp["wo"])
+    x = x + o
 
     # --- MLP block (SwiGLU, fused gate|up like TE's fc1) ---
     h = rmsnorm(x, lp["norm_mlp"], cfg.rms_eps)
-    gate_up = _dot(h, lp["w_gate_up"])
+    gate_up, amaxes["mlp_gate_up"] = dots["mlp_gate_up"](h, lp["w_gate_up"])
     gate, up = jnp.split(gate_up, 2, axis=-1)
     h = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-    x = x + _dot(h, lp["w_down"])
-    return x, new_kv
+    down, amaxes["mlp_down"] = dots["mlp_down"](h, lp["w_down"])
+    x = x + down
+    return x, new_kv, amaxes
 
 
 def forward(
@@ -300,7 +356,7 @@ def forward(
     if cache is None:
 
         def body(x, lp):
-            x, _ = _layer_body(
+            x, _, _ = _layer_body(
                 x, lp, cos, sin, cfg, None, start_pos, kv_lens, attn_impl
             )
             return x, None
@@ -311,7 +367,7 @@ def forward(
 
         def body(x, lp_and_kv):
             lp, (k_c, v_c, k_s, v_s) = lp_and_kv
-            x, (nk, nv) = _layer_body(
+            x, (nk, nv), _ = _layer_body(
                 x, lp, cos, sin, cfg, (k_c, v_c, k_s, v_s), start_pos,
                 kv_lens, attn_impl,
             )
@@ -326,6 +382,11 @@ def forward(
         )
 
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = _lm_head(params, x, cfg)
+    return logits, new_cache
+
+
+def _lm_head(params, x, cfg):
     if cfg.tie_word_embeddings or "lm_head" not in params:
         logits = jnp.dot(
             x, params["embed"].T.astype(x.dtype),
@@ -338,4 +399,51 @@ def forward(
             if isinstance(lm, QTensor)
             else jnp.dot(x, lm.astype(x.dtype), preferred_element_type=jnp.float32)
         )
-    return logits.astype(jnp.float32), new_cache
+    return logits.astype(jnp.float32)
+
+
+def forward_fp8_train(
+    params: Dict[str, Any],
+    tokens: jax.Array,
+    cfg: ModelConfig,
+    recipes: RecipeSet,
+    scales: Dict[str, Tuple[jax.Array, jax.Array]],
+    sinks: Dict[str, jax.Array],
+    *,
+    attn_impl: str = "auto",
+    unroll: int = 1,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """FP8 training forward: quantize-both-operands GEMMs with delayed scales.
+
+    Functional equivalent of running the reference's decoder under its two
+    ``fp8_autocast`` scopes (``te_llama.py:76-81``): each of the four GEMM
+    sites per layer runs through :func:`llm_fp8_tpu.quant.fp8_dot` with the
+    recipe the set assigns to its role.
+
+    ``scales[site]`` = (x_scale [L], w_scale [L]) delayed scalars per layer;
+    ``sinks[site]`` = zeros [L] — differentiate the loss w.r.t. these to
+    receive the backward-pass amaxes (see quant.dot module docs).
+
+    Returns ``(logits [B,S,V] f32, amaxes {site: DotAmaxes stacked [L]})``.
+    """
+    x = jnp.take(params["embed"], tokens, axis=0).astype(compute_dtype)
+    B, S = tokens.shape
+    positions = jnp.arange(S, dtype=jnp.int32)[None, :]
+    inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+    zero = jnp.asarray(0, jnp.int32)
+
+    def body(x, per_layer):
+        lp, layer_scales, layer_sinks = per_layer
+        dots = _make_train_dots(recipes, layer_scales, layer_sinks)
+        x, _, amaxes = _layer_body(
+            x, lp, cos, sin, cfg, None, zero, None, attn_impl, dots=dots
+        )
+        return x, amaxes
+
+    xs = (params["layers"], scales, sinks)
+    x, amaxes = jax.lax.scan(body, x, xs, unroll=unroll)
+
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    return _lm_head(params, x, cfg), amaxes

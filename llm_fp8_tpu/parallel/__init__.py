@@ -1,0 +1,16 @@
+"""GSPMD distribution: mesh + sharding rules (replaces DDP/FSDP/TP wrappers)."""
+from .mesh import MeshConfig, make_mesh, AXIS_DP, AXIS_FSDP, AXIS_TP
+from .sharding import (
+    param_specs,
+    shard_params,
+    batch_spec,
+    activation_spec,
+    kv_cache_spec,
+    constrain,
+)
+
+__all__ = [
+    "MeshConfig", "make_mesh", "AXIS_DP", "AXIS_FSDP", "AXIS_TP",
+    "param_specs", "shard_params", "batch_spec", "activation_spec",
+    "kv_cache_spec", "constrain",
+]

@@ -1,0 +1,65 @@
+"""Device mesh construction.
+
+Replaces the reference's process-group bootstrap (``setup_distributed`` →
+``init_process_group(backend="nccl")``, ``train_multi_gpu.py:969-1006``) and
+its DDP/FSDP wrapper zoo with one object: a ``jax.sharding.Mesh`` over the
+slice, axes ``(dp, fsdp, tp)``:
+
+  * ``dp``   — pure data parallel (reference: DDP / the Accelerate path).
+               Put the DCN (multi-host) dimension here.
+  * ``fsdp`` — parameter-sharded data parallel (reference: FSDP FULL_SHARD /
+               ZeRO, ``train_multi_gpu.py:381-460``).
+  * ``tp``   — tensor parallel (reference: ColumnParallel/RowParallelLinear +
+               ParallelMHA, ``fused_dense.py:166-248``, ``mha.py:707-993``).
+               Keep within a host so collectives ride ICI.
+
+Sequence parallelism needs no axis of its own: under GSPMD the Megatron-style
+SP (activations sharded along seq between TP ranks) is an activation
+PartitionSpec on the same ``tp`` axis — see ``sharding.py``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+__all__ = ["MeshConfig", "make_mesh", "AXIS_DP", "AXIS_FSDP", "AXIS_TP"]
+
+AXIS_DP = "dp"
+AXIS_FSDP = "fsdp"
+AXIS_TP = "tp"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Parallelism degrees. ``auto`` semantics mirror the reference's
+    ``ShardingMode.AUTO`` (>1 device → shard params,
+    ``train_multi_gpu.py:138-146``): leftover devices go to fsdp."""
+
+    dp: int = 1
+    fsdp: int = -1  # -1: absorb remaining devices
+    tp: int = 1
+
+    def resolve(self, n_devices: int) -> "MeshConfig":
+        dp, fsdp, tp = self.dp, self.fsdp, self.tp
+        if fsdp == -1:
+            assert n_devices % (dp * tp) == 0, (n_devices, dp, tp)
+            fsdp = n_devices // (dp * tp)
+        if dp * fsdp * tp != n_devices:
+            raise ValueError(
+                f"mesh {dp}x{fsdp}x{tp} != {n_devices} devices"
+            )
+        return MeshConfig(dp=dp, fsdp=fsdp, tp=tp)
+
+
+def make_mesh(
+    config: MeshConfig = MeshConfig(),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    cfg = config.resolve(len(devices))
+    arr = np.asarray(devices).reshape(cfg.dp, cfg.fsdp, cfg.tp)
+    return Mesh(arr, (AXIS_DP, AXIS_FSDP, AXIS_TP))

@@ -1,0 +1,103 @@
+"""Flash-attention kernel vs the golden reference.
+
+Replicates the reference's kernel-test idiom
+(``flash-attention-2.8.0/tests/test_flash_attn.py``): parametrize over
+seqlen × heads × causal × feature axes, compare against the fp32 reference
+implementation, plus determinism-by-repetition (their
+``test_flash_attn_race_condition``, ``tests/test_flash_attn.py:2199``).
+
+On CPU the kernel runs in Pallas interpreter mode (exact semantics, slow);
+on TPU (LLM_FP8_TEST_TPU=1) it runs compiled.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_fp8_tpu.ops.attention import attention_ref
+from llm_fp8_tpu.kernels.flash_attention import flash_attention
+
+
+def make_qkv(key, B, Sq, Sk, Hq, Hk, D, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(key), 3)
+    q = jax.random.normal(kq, (B, Sq, Hq, D), dtype)
+    k = jax.random.normal(kk, (B, Sk, Hk, D), dtype)
+    v = jax.random.normal(kv, (B, Sk, Hk, D), dtype)
+    return q, k, v
+
+
+def assert_close(got, want, dtype):
+    got, want = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    atol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    np.testing.assert_allclose(got, want, rtol=2e-2 if dtype == jnp.bfloat16 else 1e-4, atol=atol)
+
+
+class TestFlashForward:
+    @pytest.mark.parametrize("causal", [True, False])
+    @pytest.mark.parametrize(
+        "B,Sq,Sk,Hq,Hk,D",
+        [
+            (1, 128, 128, 2, 2, 64),   # MHA, single tile
+            (2, 256, 256, 4, 2, 64),   # GQA, multi-tile
+            (1, 128, 384, 2, 1, 64),   # MQA, cross lens
+        ],
+    )
+    def test_matches_reference(self, causal, B, Sq, Sk, Hq, Hk, D):
+        q, k, v = make_qkv(0, B, Sq, Sk, Hq, Hk, D)
+        got = flash_attention(q, k, v, causal=causal)
+        want = attention_ref(q, k, v, causal=causal)
+        assert_close(got, want, q.dtype)
+
+    def test_unaligned_seq_padding(self):
+        # Sq=100, Sk=200: not tile multiples — wrapper pads and un-pads.
+        q, k, v = make_qkv(1, 1, 100, 200, 2, 2, 64)
+        got = flash_attention(q, k, v, causal=True)
+        want = attention_ref(q, k, v, causal=True)
+        assert_close(got, want, q.dtype)
+
+    def test_kv_lens_masking(self):
+        q, k, v = make_qkv(2, 2, 128, 256, 2, 2, 64)
+        lens = jnp.array([100, 256], jnp.int32)
+        got = flash_attention(q, k, v, causal=False, kv_lens=lens)
+        want = attention_ref(q, k, v, causal=False, kv_lens=lens)
+        assert_close(got, want, q.dtype)
+
+    def test_q_offset_decode_semantics(self):
+        # Decode: 1 query at absolute position 200 over a 256-cache.
+        q, k, v = make_qkv(3, 1, 1, 256, 4, 2, 64)
+        lens = jnp.array([201], jnp.int32)
+        got = flash_attention(q, k, v, causal=True, q_offset=200, kv_lens=lens)
+        want = attention_ref(q, k, v, causal=True, q_offset=200, kv_lens=lens)
+        assert_close(got, want, q.dtype)
+
+    def test_sliding_window(self):
+        q, k, v = make_qkv(4, 1, 256, 256, 2, 2, 64)
+        got = flash_attention(q, k, v, causal=True, window=64)
+        want = attention_ref(q, k, v, causal=True, window=64)
+        assert_close(got, want, q.dtype)
+
+    def test_softcap(self):
+        q, k, v = make_qkv(5, 1, 128, 128, 2, 2, 64)
+        got = flash_attention(q, k, v, causal=True, softcap=30.0)
+        want = attention_ref(q, k, v, causal=True, softcap=30.0)
+        assert_close(got, want, q.dtype)
+
+    def test_bf16(self):
+        q, k, v = make_qkv(6, 1, 256, 256, 4, 2, 64, jnp.bfloat16)
+        got = flash_attention(q, k, v, causal=True)
+        want = attention_ref(q, k, v, causal=True)
+        assert_close(got, want, jnp.bfloat16)
+
+    def test_head_dim_128(self):
+        q, k, v = make_qkv(7, 1, 128, 128, 2, 2, 128)
+        got = flash_attention(q, k, v, causal=True)
+        want = attention_ref(q, k, v, causal=True)
+        assert_close(got, want, q.dtype)
+
+    def test_determinism_by_repetition(self):
+        # The reference's race-condition test: repeated runs bit-identical.
+        q, k, v = make_qkv(8, 2, 256, 256, 4, 2, 64, jnp.bfloat16)
+        first = flash_attention(q, k, v, causal=True)
+        for _ in range(3):
+            again = flash_attention(q, k, v, causal=True)
+            np.testing.assert_array_equal(np.asarray(first), np.asarray(again))

@@ -1,0 +1,53 @@
+"""Fused dequant-matmul kernel vs the jnp composition (golden)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_fp8_tpu.quant import quantize, quantize_mx, qdot, E4M3
+from llm_fp8_tpu.kernels.quant_matmul import qdot_fused
+
+
+def rand(seed, shape, scale=1.0):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32) * scale
+
+
+class TestQuantMatmul:
+    @pytest.mark.parametrize("mode", ["tensor", "channel", "mx"])
+    @pytest.mark.parametrize("M,K,N", [(8, 256, 512), (1, 128, 384), (100, 512, 256)])
+    def test_matches_qdot(self, mode, M, K, N):
+        x = rand(0, (M, K)).astype(jnp.bfloat16)
+        w = rand(1, (K, N), 0.05)
+        if mode == "mx":
+            wq = quantize_mx(w, E4M3, block_axis=0)
+        elif mode == "channel":
+            wq = quantize(w, E4M3, axes=(0,))
+        else:
+            wq = quantize(w, E4M3)
+        got = qdot_fused(x, wq)
+        want = qdot(x, wq)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+    def test_batched_lead_dims(self):
+        x = rand(2, (2, 7, 128)).astype(jnp.bfloat16)
+        w = rand(3, (128, 256), 0.05)
+        wq = quantize(w, E4M3, axes=(0,))
+        got = qdot_fused(x, wq)
+        assert got.shape == (2, 7, 256)
+        want = qdot(x.reshape(-1, 128), wq).reshape(2, 7, 256)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
+    def test_determinism(self):
+        x = rand(4, (16, 256)).astype(jnp.bfloat16)
+        wq = quantize(rand(5, (256, 512), 0.05), E4M3, axes=(0,))
+        first = qdot_fused(x, wq)
+        for _ in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(first), np.asarray(qdot_fused(x, wq))
+            )

@@ -1,0 +1,195 @@
+"""Training-harness tests: FP8 train step, delayed state, loss, data, stability."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_fp8_tpu.models import get_config, init_params
+from llm_fp8_tpu.models.llama import forward_fp8_train, forward, DOT_SITES
+from llm_fp8_tpu.quant import recipe_set_by_name
+from llm_fp8_tpu.training import (
+    TrainConfig,
+    Trainer,
+    causal_lm_loss,
+    make_batches,
+    StabilityTracker,
+    init_train_quant_state,
+    forward_scales,
+    make_sinks,
+)
+from llm_fp8_tpu.training.data import DataManager, DataConfig, synthetic_examples
+
+CFG = get_config("debug-tiny")
+
+
+def batch_of(seed=0, B=4, S=32):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(0, CFG.vocab_size, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), np.int32)
+    mask[:, -4:] = 0  # padded tail
+    return {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask)}
+
+
+class TestLoss:
+    def test_matches_manual(self):
+        logits = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 16))
+        tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 16)
+        loss, n = causal_lm_loss(logits, tokens)
+        assert n == 2 * 7
+        lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        manual = -jnp.mean(
+            jnp.take_along_axis(lp, tokens[:, 1:, None], axis=-1)
+        )
+        np.testing.assert_allclose(float(loss), float(manual), rtol=1e-5)
+
+    def test_mask_excludes_padding(self):
+        logits = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 16))
+        tokens = jax.random.randint(jax.random.PRNGKey(3), (1, 8), 0, 16)
+        mask = jnp.array([[1, 1, 1, 1, 0, 0, 0, 0]])
+        loss_m, n_m = causal_lm_loss(logits, tokens, mask)
+        assert n_m == 3
+        # Only first 3 transitions count.
+        loss_f, _ = causal_lm_loss(logits[:, :4], tokens[:, :4])
+        np.testing.assert_allclose(float(loss_m), float(loss_f), rtol=1e-5)
+
+
+class TestFp8TrainStep:
+    @pytest.mark.parametrize("recipes", ["bf16", "default", "hybrid", "mxfp8"])
+    def test_loss_decreases(self, recipes):
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        trainer = Trainer(
+            CFG,
+            TrainConfig(learning_rate=5e-3, warmup_steps=1, total_steps=30,
+                        recipes=recipes),
+            attn_impl="ref",
+        )
+        state = trainer.init_state(params)
+        batch = batch_of()
+        losses = []
+        for _ in range(15):
+            state, m = trainer.train_step(state, batch)
+            losses.append(float(m["loss"]))
+        assert all(math.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0] * 0.9, losses
+
+    def test_delayed_state_updates(self):
+        recipes = recipe_set_by_name("default")
+        params = init_params(CFG, jax.random.PRNGKey(1), dtype=jnp.float32)
+        trainer = Trainer(
+            CFG, TrainConfig(recipes="default", warmup_steps=1), attn_impl="ref"
+        )
+        state = trainer.init_state(params)
+        assert "mlp_down" in state.qstate and "attn_qkv" in state.qstate
+        s0 = state.qstate["mlp_down"]["x"].scale.copy()
+        state, _ = trainer.train_step(state, batch_of(1))
+        state, _ = trainer.train_step(state, batch_of(2))
+        # After steps, histories hold real amaxes and scales moved off init.
+        assert float(jnp.max(state.qstate["mlp_down"]["x"].history)) > 0
+        assert not np.allclose(
+            np.asarray(state.qstate["mlp_down"]["x"].scale), np.asarray(s0)
+        )
+        # Backward amaxes (sink-gradient carrier) also observed.
+        assert float(jnp.max(state.qstate["mlp_down"]["g"].history)) > 0
+
+    def test_nonfinite_guard_skips_update(self):
+        params = init_params(CFG, jax.random.PRNGKey(2), dtype=jnp.float32)
+        trainer = Trainer(CFG, TrainConfig(warmup_steps=1), attn_impl="ref")
+        state = trainer.init_state(params)
+        bad = batch_of()
+        # Poison the final norm so every logit (and the loss) is NaN.
+        poisoned = dict(state.params)
+        poisoned["final_norm"] = state.params["final_norm"].at[0].set(jnp.nan)
+        from llm_fp8_tpu.training.trainer import TrainState
+
+        state_bad = TrainState(poisoned, state.opt_state, state.qstate, state.step)
+        # Host copies before the step: donate_argnums invalidates the input.
+        expected_norm = np.asarray(poisoned["final_norm"])
+        step0 = int(state.step)
+        new_state, m = trainer.train_step(state_bad, bad)
+        assert int(m["finite"]) == 0
+        # Params unchanged (skip-step), but step counter advanced.
+        np.testing.assert_array_equal(
+            np.asarray(new_state.params["final_norm"]), expected_norm
+        )
+        assert int(new_state.step) == step0 + 1
+
+    def test_fp8_forward_close_to_bf16(self):
+        params = init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+        recipes = recipe_set_by_name("default")
+        qstate = init_train_quant_state(CFG, recipes)
+        # Warm the delayed scales with one observation pass to avoid the
+        # first-step scale=1 transient.
+        batch = batch_of(4)
+        logits_fp8, _ = forward_fp8_train(
+            params, batch["input_ids"], CFG, recipes,
+            forward_scales(qstate, CFG), make_sinks(CFG),
+            attn_impl="ref", compute_dtype=jnp.float32,
+        )
+        logits_ref, _ = forward(
+            params, batch["input_ids"], CFG, attn_impl="ref",
+            compute_dtype=jnp.float32,
+        )
+        rel = np.linalg.norm(np.asarray(logits_fp8 - logits_ref)) / np.linalg.norm(
+            np.asarray(logits_ref)
+        )
+        assert rel < 0.1, rel
+
+
+class TestData:
+    class _FakeTok:
+        pad_token_id = 0
+        eos_token_id = 0
+
+        def __call__(self, text, truncation=True, max_length=None):
+            ids = [ord(c) % 250 + 3 for c in text][:max_length]
+            return {"input_ids": ids}
+
+    def test_template_and_split(self):
+        cfg = DataConfig(max_seq_length=64, num_of_samples=None, test_size=0.1)
+        dm = DataManager(cfg, self._FakeTok())
+        train, test = dm.build(synthetic_examples(50))
+        assert len(train) == 45 and len(test) == 5
+        assert all(len(s) <= 64 for s in train)
+
+    def test_batches_static_shape(self):
+        cfg = DataConfig(max_seq_length=60, batch_size=4)
+        dm = DataManager(cfg, self._FakeTok())
+        train, _ = dm.build(synthetic_examples(20))
+        bs = list(dm.batches(train, 4, shuffle=False))
+        assert all(b["input_ids"].shape == (4, 64) for b in bs)  # 60 -> 64
+        assert all(b["attention_mask"].sum() > 0 for b in bs)
+
+    def test_template_bytes(self):
+        # Perplexity comparability: template text matches the reference's.
+        from llm_fp8_tpu.training import CHAT_TEMPLATE
+
+        t = CHAT_TEMPLATE.format(problem="P?", solution="S.")
+        assert t.startswith("<|begin_of_text|><|start_header_id|>system")
+        assert "\\boxed{}" in t
+        assert "P?" in t and "S.<|eot_id|>" in t
+
+
+class TestStability:
+    def test_report_fields(self):
+        tr = StabilityTracker("fp8-layerwise")
+        rng = np.random.RandomState(0)
+        for i in range(200):
+            tr.track_step(
+                2.0 * math.exp(-i / 60) + rng.randn() * 0.01,
+                grad_norm=1.0 + rng.rand() * 0.1, lr=1e-5,
+            )
+        rep = tr.report()
+        assert rep["steps"] == 200
+        assert rep["loss_stats"]["std"] > 0
+        assert rep["convergence_rate"] > 0
+        assert 0 <= rep["oscillation_index"] <= 1
+        assert rep["variance_stability_ratio"] < 1  # decaying loss stabilizes
+        assert rep["non_finite_steps"] == 0
+
+    def test_nonfinite_counted(self):
+        tr = StabilityTracker()
+        tr.track_step(float("nan"))
+        tr.track_step(1.0)
+        assert tr.report()["non_finite_steps"] == 1
