@@ -1,0 +1,97 @@
+"""Serving CLI: load → quantize → continuous-batching benchmark/REPL.
+
+The deployment half of the reference study (vLLM FP8-vs-FP16 serving eval,
+``thesis/chapters/c3/c3_methodology.tex:46-52``) as a native command:
+
+  python -m llm_fp8_tpu.cli.serve --model_name llama-3.2-1b --random_init \\
+      --precision fp8 --num_requests 16 --max_new_tokens 64
+
+Reports tokens/s, p50/p99 TTFT, and peak device memory.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="FP8 TPU serving benchmark")
+    p.add_argument("--model_name", type=str, required=True)
+    p.add_argument("--weights_path", type=str, default=None)
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--precision", type=str, default="fp8",
+                   choices=["fp8", "bf16"])
+    p.add_argument("--fp8_scenario", type=str, default="default",
+                   choices=["default", "mxfp8", "hybrid"])
+    p.add_argument("--kv_dtype", type=str, default="fp8",
+                   choices=["fp8", "bf16"])
+    p.add_argument("--max_slots", type=int, default=8)
+    p.add_argument("--max_seq_len", type=int, default=2048)
+    p.add_argument("--num_requests", type=int, default=16)
+    p.add_argument("--prompt_len", type=int, default=128)
+    p.add_argument("--max_new_tokens", type=int, default=64)
+    p.add_argument("--temperature", type=float, default=0.0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from llm_fp8_tpu.models import (
+        get_config, init_params, load_hf_checkpoint, quantize_params,
+    )
+    from llm_fp8_tpu.quant import recipe_set_by_name
+    from llm_fp8_tpu.serving import Engine, EngineConfig, SamplingParams
+    from llm_fp8_tpu.utils.monitor import device_memory_stats
+
+    cfg = get_config(args.model_name)
+    dtype = jnp.bfloat16
+    if args.random_init or args.weights_path is None:
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    else:
+        params = load_hf_checkpoint(args.weights_path, cfg, dtype=dtype)
+    if args.precision == "fp8":
+        params = quantize_params(params, recipe_set_by_name(args.fp8_scenario))
+
+    eng = Engine(
+        params, cfg,
+        EngineConfig(
+            max_slots=args.max_slots, max_seq_len=args.max_seq_len,
+            kv_dtype=jnp.float8_e4m3fn if args.kv_dtype == "fp8" else jnp.bfloat16,
+        ),
+    )
+    rng = np.random.RandomState(0)
+    sp = SamplingParams(
+        temperature=args.temperature, max_new_tokens=args.max_new_tokens
+    )
+    t0 = time.perf_counter()
+    for _ in range(args.num_requests):
+        eng.add_request(
+            rng.randint(1, cfg.vocab_size, args.prompt_len).astype(np.int32), sp
+        )
+    done = eng.run()
+    dt = time.perf_counter() - t0
+
+    new_tokens = sum(len(r.output) for r in done)
+    ttfts = sorted(r.ttft for r in done if r.ttft is not None)
+    mem = device_memory_stats()
+    print(json.dumps({
+        "requests": len(done),
+        "generated_tokens": new_tokens,
+        "wall_s": round(dt, 3),
+        "tokens_per_s": round(new_tokens / dt, 2),
+        "ttft_p50_s": round(ttfts[len(ttfts) // 2], 4) if ttfts else None,
+        "ttft_p99_s": round(ttfts[min(len(ttfts) - 1, int(len(ttfts) * 0.99))], 4)
+        if ttfts else None,
+        "peak_memory_gb": round(mem["peak_gb"], 3),
+        "precision": args.precision,
+        "kv_dtype": args.kv_dtype,
+    }))
+
+
+if __name__ == "__main__":
+    main()

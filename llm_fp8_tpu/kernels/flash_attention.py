@@ -38,7 +38,7 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _fwd_kernel(
     # scalar prefetch
-    q_offset_ref,  # [1] absolute position of q row 0
+    q_offset_ref,  # [B] absolute position of q row 0, per batch
     kv_lens_ref,  # [B] valid KV length per batch
     # blocked inputs
     q_ref,  # [1, 1, bq, D]
@@ -64,7 +64,7 @@ def _fwd_kernel(
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
-    q_off = q_offset_ref[0]
+    q_off = q_offset_ref[b]
     kv_len = kv_lens_ref[b]
 
     @pl.when(ki == 0)
@@ -181,7 +181,7 @@ def flash_attention(
 
     if kv_lens is None:
         kv_lens = jnp.full((B,), Sk, jnp.int32)
-    q_offset = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
 
     # bhsd layout inside the kernel (K contraction-major: [B, Hk, D, Sk]);
     # pad seq dims to tile multiples.

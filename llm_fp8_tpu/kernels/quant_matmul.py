@@ -109,9 +109,10 @@ def quant_matmul(
     assert K == K2, (x.shape, w_q.shape)
     out_dtype = out_dtype or x.dtype
 
-    # Decode has tiny M: clamp the M tile to the (padded) batch.
+    # Decode has tiny M: clamp the M tile to the (padded) batch, rounded to
+    # the bf16 sublane multiple (16).
     if block_m is None:
-        block_m = min(128, max(16, M))
+        block_m = min(128, -(-max(16, M) // 16) * 16)
     block_k = min(block_k, K)
     block_n = min(block_n, N)
 

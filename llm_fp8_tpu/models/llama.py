@@ -285,18 +285,18 @@ def _layer_body(
         new_kv = (kk, vv)
     else:
         k_cache, v_cache, k_scale, v_scale = cache_kv
-        # Append new K/V at start_pos (quantizing if the cache is FP8)…
+        # Append new K/V at each sequence's own start_pos (continuous
+        # batching: per-slot positions), quantizing if the cache is FP8.
         if k_cache.dtype != kk.dtype:
             k_store = (kk.astype(jnp.float32) / k_scale).astype(k_cache.dtype)
             v_store = (vv.astype(jnp.float32) / v_scale).astype(v_cache.dtype)
         else:
             k_store, v_store = kk, vv
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k_store, (0, start_pos, 0, 0)
+        upd = jax.vmap(
+            lambda c, s, p: jax.lax.dynamic_update_slice(c, s, (p, 0, 0))
         )
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v_store, (0, start_pos, 0, 0)
-        )
+        k_cache = upd(k_cache, k_store, start_pos)
+        v_cache = upd(v_cache, v_store, start_pos)
         # …then attend over the whole (masked) cache.
         k_all = k_cache.astype(q.dtype)
         v_all = v_cache.astype(q.dtype)
@@ -346,10 +346,11 @@ def forward(
     x = jnp.take(params["embed"], tokens, axis=0).astype(compute_dtype)
     B, S = tokens.shape
 
-    start_pos = jnp.asarray(start_pos, jnp.int32)
-    positions = start_pos + jnp.arange(S, dtype=jnp.int32)[None, :]  # [1,S]
+    # start_pos: scalar, or [B] per-sequence (continuous-batching decode).
+    start_pos = jnp.broadcast_to(jnp.asarray(start_pos, jnp.int32), (B,))
+    positions = start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
-    cos, sin = rope_cos_sin(positions, inv_freq)  # [1, S, Dh/2]
+    cos, sin = rope_cos_sin(positions, inv_freq)  # [B, S, Dh/2]
 
     lp_stack = params["layers"]
 

@@ -30,18 +30,26 @@ def _build_mask(
     kv_lens: Optional[jax.Array],
     batch: int,
 ):
-    """Boolean mask [B or 1, 1, q_len, k_len], True = attend."""
-    q_pos = q_offset + jnp.arange(q_len)[:, None]  # absolute position of query
-    k_pos = jnp.arange(k_len)[None, :]
-    mask = jnp.ones((q_len, k_len), dtype=bool)
+    """Boolean mask [B or 1, 1, q_len, k_len], True = attend.
+
+    ``q_offset`` may be a scalar or a per-batch ``[B]`` vector (continuous
+    batching: each slot decodes at its own absolute position).
+    """
+    q_offset = jnp.asarray(q_offset, jnp.int32)
+    if q_offset.ndim == 0:
+        q_offset = q_offset[None]  # [1] broadcasts over batch
+    # [B?, q_len, k_len] position grids
+    q_pos = (q_offset[:, None] + jnp.arange(q_len)[None, :])[:, :, None]
+    k_pos = jnp.arange(k_len)[None, None, :]
+    mask = jnp.ones((1, q_len, k_len), dtype=bool)
     if causal:
-        mask &= k_pos <= q_pos
+        mask = mask & (k_pos <= q_pos)
     if window is not None:
-        mask &= k_pos > q_pos - window
-    mask = mask[None, None]
+        mask = mask & (k_pos > q_pos - window)
+    mask = mask[:, None]  # [B?, 1, q, k]
     if kv_lens is not None:
-        valid = k_pos[None] < kv_lens[:, None, None]  # [B, 1, k_len]
-        mask = mask & valid[:, None]
+        valid = k_pos[None] < kv_lens[:, None, None, None]
+        mask = mask & valid[:, 0][:, None]
     return mask
 
 

@@ -52,14 +52,26 @@ class DotAmaxes(NamedTuple):
 # --------------------------------------------------------------------------
 
 
-def qdot(x: jax.Array, w: QTensor, *, out_dtype=None) -> jax.Array:
+def qdot(
+    x: jax.Array, w: QTensor, *, out_dtype=None, impl: Optional[str] = None
+) -> jax.Array:
     """``x [..., K] @ w [K, N]`` with ``w`` stored quantized.
 
-    Per-tensor / per-output-channel scales are applied *after* the matmul
-    (mathematically exact, keeps the MXU operand narrow); block (MX) scales
-    vary along the contraction axis, so the operand is dequantized first and
-    XLA fuses the expand+multiply into the dot's operand read.
+    ``impl``: "fused" (Pallas dequant-matmul kernel — weights stream from HBM
+    as fp8, the bandwidth-optimal serving path), "xla" (jnp composition), or
+    None → fused on TPU, xla elsewhere.
+
+    XLA path: per-tensor / per-output-channel scales are applied *after* the
+    matmul (mathematically exact, keeps the MXU operand narrow); block (MX)
+    scales vary along the contraction axis, so the operand is dequantized
+    first and XLA fuses the expand+multiply into the dot's operand read.
     """
+    if impl is None:
+        impl = "fused" if jax.default_backend() == "tpu" else "xla"
+    if impl == "fused":
+        from llm_fp8_tpu.kernels.quant_matmul import qdot_fused
+
+        return qdot_fused(x, w, out_dtype=out_dtype)
     out_dtype = out_dtype or x.dtype
     if w.block_size is None and _scale_is_post_applicable(w):
         y = jnp.dot(

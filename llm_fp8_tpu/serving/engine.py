@@ -1,0 +1,251 @@
+"""Continuous-batching FP8 inference engine.
+
+TPU-native counterpart of the reference's inference runtime
+(``flash_attn/utils/generation.py``): ``InferenceParams`` KV arena (:24),
+prefill+decode loop (:99-208), CUDA-graph-captured decode step (:606-740).
+The CUDA-graph machinery disappears — one ``jax.jit`` decode step over a
+static-shape slot arena *is* the captured graph, keyed by (slots, seq) shape
+exactly like their ``DecodingCGCache`` is keyed by (batch, seqlen) (:618-692).
+
+Continuous batching (the vLLM-style serving the reference's thesis evaluates,
+``thesis/chapters/c3/c3_methodology.tex:46-52``): a fixed pool of decode
+slots; requests prefill into free slots as they arrive and leave on
+EOS/length, while other slots keep decoding — no global batch barrier.
+
+Dynamic shapes are the enemy under jit: prompts are bucketed to power-of-two
+lengths (one compiled prefill per bucket), the decode step is compiled once.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_fp8_tpu.models.config import ModelConfig
+from llm_fp8_tpu.models.llama import KVCache, forward, init_kv_cache
+from llm_fp8_tpu.ops.sampling import sample, greedy
+
+__all__ = ["EngineConfig", "SamplingParams", "Request", "Engine"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    temperature: float = 0.0  # 0 = greedy
+    top_k: int = 0
+    top_p: float = 0.0
+    max_new_tokens: int = 128
+    stop_token_ids: tuple = ()
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    prompt: np.ndarray  # [len] int32
+    params: SamplingParams
+    # lifecycle
+    output: List[int] = dataclasses.field(default_factory=list)
+    slot: int = -1
+    done: bool = False
+    enqueue_time: float = 0.0
+    first_token_time: Optional[float] = None
+    finish_time: Optional[float] = None
+
+    @property
+    def ttft(self) -> Optional[float]:
+        if self.first_token_time is None:
+            return None
+        return self.first_token_time - self.enqueue_time
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    max_slots: int = 8  # concurrent decode sequences
+    max_seq_len: int = 2048  # KV arena length per slot
+    kv_dtype: Any = jnp.float8_e4m3fn  # FP8 KV cache by default
+    prefill_buckets: tuple = (128, 256, 512, 1024, 2048)
+    attn_impl: str = "auto"
+
+
+class Engine:
+    """Single-model engine; params may hold QTensor FP8 weights."""
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        model_cfg: ModelConfig,
+        engine_cfg: EngineConfig = EngineConfig(),
+        *,
+        eos_token_id: Optional[int] = None,
+    ):
+        self.params = params
+        self.cfg = model_cfg
+        self.ecfg = engine_cfg
+        self.eos = eos_token_id
+        B, S = engine_cfg.max_slots, engine_cfg.max_seq_len
+        self.cache: KVCache = init_kv_cache(
+            model_cfg, B, S, dtype=engine_cfg.kv_dtype
+        )
+        # Host-side slot bookkeeping (the scheduler's view).
+        self.slot_req: List[Optional[Request]] = [None] * B
+        self.slot_lens = np.zeros((B,), np.int32)
+        self.slot_last_tok = np.zeros((B,), np.int32)
+        self.waiting: List[Request] = []
+        self._next_id = 0
+        self._rng = jax.random.PRNGKey(0)
+
+        self._prefill = jax.jit(
+            self._prefill_impl, static_argnames=("bucket",),
+            donate_argnums=(1,),
+        )
+        self._decode = jax.jit(self._decode_impl, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    # jitted compute
+    # ------------------------------------------------------------------
+
+    def _prefill_impl(self, params, cache, tokens, true_len, slot, *, bucket):
+        """Prefill one request (padded to ``bucket``) into cache slot ``slot``.
+
+        Runs the model with a batch-1 view and scatters the produced K/V into
+        the arena row — the jit equivalent of ``InferenceParams`` cache
+        population during the reference's prefill (generation.py:158-163).
+        """
+        one = init_kv_cache(self.cfg, 1, bucket, dtype=self.ecfg.kv_dtype)
+        one = KVCache(one.k, one.v, one.lens,
+                      cache.k_scale, cache.v_scale)
+        logits, one = forward(
+            params, tokens[None, :], self.cfg, cache=one, start_pos=0,
+            kv_lens=true_len[None], attn_impl=self.ecfg.attn_impl,
+        )
+        k = cache.k.at[:, slot, :bucket].set(one.k[:, 0])
+        v = cache.v.at[:, slot, :bucket].set(one.v[:, 0])
+        new_cache = KVCache(k, v, cache.lens.at[slot].set(true_len),
+                            cache.k_scale, cache.v_scale)
+        # Next-token logits come from the last *real* prompt position.
+        last = logits[0, true_len - 1]
+        return last, new_cache
+
+    def _decode_impl(self, params, cache, last_tokens, lens, rng):
+        """One decode step over every slot (the 'captured graph').
+
+        ``lens`` are per-slot cache fills; each slot writes its token at its
+        own position and attends over its own prefix (ragged batch).
+        """
+        logits, cache = forward(
+            params, last_tokens[:, None], self.cfg, cache=cache,
+            start_pos=lens, kv_lens=lens + 1, attn_impl=self.ecfg.attn_impl,
+        )
+        return logits[:, 0], cache
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def add_request(
+        self, prompt: np.ndarray, params: SamplingParams = SamplingParams()
+    ) -> Request:
+        req = Request(
+            request_id=self._next_id,
+            prompt=np.asarray(prompt, np.int32),
+            params=params,
+            enqueue_time=time.perf_counter(),
+        )
+        self._next_id += 1
+        self.waiting.append(req)
+        return req
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.ecfg.prefill_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds max bucket")
+
+    def has_work(self) -> bool:
+        return bool(self.waiting) or any(r is not None for r in self.slot_req)
+
+    def step(self) -> List[Request]:
+        """Admit waiting requests into free slots, then one decode step.
+
+        Returns requests finished during this step.
+        """
+        finished: List[Request] = []
+
+        # --- admission: prefill waiting requests into free slots ---
+        for slot in range(self.ecfg.max_slots):
+            if not self.waiting or self.slot_req[slot] is not None:
+                continue
+            req = self.waiting.pop(0)
+            bucket = self._bucket_for(len(req.prompt))
+            padded = np.zeros((bucket,), np.int32)
+            padded[: len(req.prompt)] = req.prompt
+            last_logits, self.cache = self._prefill(
+                self.params, self.cache, jnp.asarray(padded),
+                jnp.asarray(len(req.prompt), jnp.int32),
+                jnp.asarray(slot, jnp.int32), bucket=bucket,
+            )
+            tok = int(self._sample_one(last_logits, req.params))
+            req.first_token_time = time.perf_counter()
+            req.output.append(tok)
+            req.slot = slot
+            self.slot_req[slot] = req
+            self.slot_lens[slot] = len(req.prompt)
+            self.slot_last_tok[slot] = tok
+            if self._is_stop(req, tok):
+                finished.append(self._retire(slot))
+
+        # --- one decode step over active slots ---
+        if any(r is not None for r in self.slot_req):
+            lens = jnp.asarray(self.slot_lens)
+            toks = jnp.asarray(self.slot_last_tok)
+            logits, self.cache = self._decode(
+                self.params, self.cache, toks, lens, self._rng
+            )
+            for slot, req in enumerate(self.slot_req):
+                if req is None:
+                    continue
+                tok = int(self._sample_one(logits[slot], req.params))
+                req.output.append(tok)
+                self.slot_lens[slot] += 1
+                self.slot_last_tok[slot] = tok
+                if self._is_stop(req, tok):
+                    finished.append(self._retire(slot))
+        return finished
+
+    def run(self, requests: List[Request] = ()) -> List[Request]:
+        """Drain: step until every queued request completes."""
+        done: List[Request] = []
+        while self.has_work():
+            done.extend(self.step())
+        return done
+
+    # ------------------------------------------------------------------
+
+    def _sample_one(self, logits: jax.Array, p: SamplingParams):
+        if p.temperature == 0.0:
+            return greedy(logits[None, :])[0]
+        self._rng, key = jax.random.split(self._rng)
+        return sample(
+            logits[None, :], key,
+            temperature=p.temperature, top_k=p.top_k, top_p=p.top_p,
+        )[0]
+
+    def _is_stop(self, req: Request, tok: int) -> bool:
+        if len(req.output) >= req.params.max_new_tokens:
+            return True
+        if self.eos is not None and tok == self.eos:
+            return True
+        return tok in req.params.stop_token_ids
+
+    def _retire(self, slot: int) -> Request:
+        req = self.slot_req[slot]
+        req.done = True
+        req.finish_time = time.perf_counter()
+        req.slot = -1
+        self.slot_req[slot] = None
+        self.slot_lens[slot] = 0
+        self.slot_last_tok[slot] = 0
+        return req

@@ -24,5 +24,8 @@ if not os.environ.get("LLM_FP8_TEST_TPU"):
     # jax.config still lets us pick the platform as long as no computation has
     # been dispatched yet.
     jax.config.update("jax_platforms", "cpu")
-
-jax.config.update("jax_default_matmul_precision", "highest")
+    # Tight golden-test tolerances need full-precision matmuls on CPU. On TPU
+    # this is NOT set: forcing 'highest' changes the Mosaic lowering of
+    # kernel dots, and production runs use the default precision anyway —
+    # TPU runs assert with relaxed tolerances instead.
+    jax.config.update("jax_default_matmul_precision", "highest")

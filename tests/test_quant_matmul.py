@@ -25,7 +25,7 @@ class TestQuantMatmul:
         else:
             wq = quantize(w, E4M3)
         got = qdot_fused(x, wq)
-        want = qdot(x, wq)
+        want = qdot(x, wq, impl="xla")
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=2e-2, atol=2e-2,
@@ -37,7 +37,7 @@ class TestQuantMatmul:
         wq = quantize(w, E4M3, axes=(0,))
         got = qdot_fused(x, wq)
         assert got.shape == (2, 7, 256)
-        want = qdot(x.reshape(-1, 128), wq).reshape(2, 7, 256)
+        want = qdot(x.reshape(-1, 128), wq, impl="xla").reshape(2, 7, 256)
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=2e-2, atol=2e-2,

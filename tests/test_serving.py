@@ -1,0 +1,134 @@
+"""Serving-engine tests: continuous batching correctness.
+
+Key property (the reference's generation-parity idiom,
+``tests/models/test_llama.py`` style): engine output for each request must
+equal a straight-line greedy decode of the same prompt — regardless of how
+many other requests share the batch or when they arrived.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_fp8_tpu.models import get_config, init_params, forward, init_kv_cache
+from llm_fp8_tpu.ops import greedy
+from llm_fp8_tpu.serving import Engine, EngineConfig, SamplingParams
+
+CFG = get_config("debug-tiny")
+
+
+def reference_greedy(params, prompt, n_new):
+    """Straight-line prefill+decode, no engine."""
+    cache = init_kv_cache(CFG, 1, 256, dtype=jnp.float32)
+    logits, cache = forward(
+        params, jnp.asarray(prompt)[None], CFG, cache=cache, start_pos=0,
+        kv_lens=jnp.asarray([len(prompt)], jnp.int32), attn_impl="ref",
+    )
+    toks = [int(greedy(logits[:, len(prompt) - 1])[0])]
+    pos = len(prompt)
+    for _ in range(n_new - 1):
+        logits, cache = forward(
+            params, jnp.asarray([[toks[-1]]], jnp.int32), CFG, cache=cache,
+            start_pos=pos, kv_lens=jnp.asarray([pos + 1], jnp.int32),
+            attn_impl="ref",
+        )
+        toks.append(int(greedy(logits[:, 0])[0]))
+        pos += 1
+    return toks
+
+
+def make_engine(params, slots=4, kv_dtype=jnp.float32):
+    return Engine(
+        params, CFG,
+        EngineConfig(max_slots=slots, max_seq_len=256, kv_dtype=kv_dtype,
+                     prefill_buckets=(32, 64, 128), attn_impl="ref"),
+    )
+
+
+class TestEngine:
+    def test_single_request_matches_reference(self):
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        prompt = np.arange(1, 9, dtype=np.int32)
+        want = reference_greedy(params, prompt, 8)
+
+        eng = make_engine(params)
+        req = eng.add_request(prompt, SamplingParams(max_new_tokens=8))
+        done = eng.run()
+        assert len(done) == 1 and done[0].request_id == req.request_id
+        assert done[0].output == want
+
+    def test_concurrent_requests_isolated(self):
+        params = init_params(CFG, jax.random.PRNGKey(1), dtype=jnp.float32)
+        prompts = [
+            np.arange(1, 6, dtype=np.int32),
+            np.arange(40, 52, dtype=np.int32),
+            np.arange(200, 230, dtype=np.int32),
+        ]
+        wants = [reference_greedy(params, p, 6) for p in prompts]
+
+        eng = make_engine(params, slots=2)  # fewer slots than requests
+        for p in prompts:
+            eng.add_request(p, SamplingParams(max_new_tokens=6))
+        done = sorted(eng.run(), key=lambda r: r.request_id)
+        assert [r.output for r in done] == wants
+
+    def test_staggered_arrival(self):
+        params = init_params(CFG, jax.random.PRNGKey(2), dtype=jnp.float32)
+        p1 = np.arange(1, 10, dtype=np.int32)
+        p2 = np.arange(90, 101, dtype=np.int32)
+        w1 = reference_greedy(params, p1, 10)
+        w2 = reference_greedy(params, p2, 5)
+
+        eng = make_engine(params)
+        r1 = eng.add_request(p1, SamplingParams(max_new_tokens=10))
+        for _ in range(3):
+            eng.step()  # r1 decodes alone for a while
+        r2 = eng.add_request(p2, SamplingParams(max_new_tokens=5))
+        done = {r.request_id: r for r in eng.run()}
+        assert done[r1.request_id].output == w1
+        assert done[r2.request_id].output == w2
+
+    def test_slot_reuse_after_retire(self):
+        params = init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+        eng = make_engine(params, slots=1)
+        p1 = np.arange(1, 5, dtype=np.int32)
+        p2 = np.arange(7, 12, dtype=np.int32)
+        w2 = reference_greedy(params, p2, 4)
+        eng.add_request(p1, SamplingParams(max_new_tokens=3))
+        eng.add_request(p2, SamplingParams(max_new_tokens=4))
+        done = sorted(eng.run(), key=lambda r: r.request_id)
+        assert len(done) == 2
+        assert done[1].output == w2  # second request unpolluted by first
+
+    def test_eos_stops(self):
+        params = init_params(CFG, jax.random.PRNGKey(4), dtype=jnp.float32)
+        prompt = np.arange(1, 6, dtype=np.int32)
+        free_run = reference_greedy(params, prompt, 8)
+        eos = free_run[2]  # pretend the 3rd generated token is EOS
+        eng = Engine(
+            params, CFG,
+            EngineConfig(max_slots=2, max_seq_len=256,
+                         kv_dtype=jnp.float32,
+                         prefill_buckets=(32,), attn_impl="ref"),
+            eos_token_id=eos,
+        )
+        req = eng.add_request(prompt, SamplingParams(max_new_tokens=8))
+        done = eng.run()
+        assert done[0].output == free_run[:3]  # stopped at EOS inclusive
+
+    def test_ttft_recorded(self):
+        params = init_params(CFG, jax.random.PRNGKey(5), dtype=jnp.float32)
+        eng = make_engine(params)
+        req = eng.add_request(np.arange(1, 5, dtype=np.int32),
+                              SamplingParams(max_new_tokens=2))
+        eng.run()
+        assert req.ttft is not None and req.ttft > 0
+        assert req.finish_time > req.first_token_time
+
+    def test_fp8_kv_engine_runs(self):
+        params = init_params(CFG, jax.random.PRNGKey(6), dtype=jnp.float32)
+        eng = make_engine(params, kv_dtype=jnp.float8_e4m3fn)
+        req = eng.add_request(np.arange(1, 9, dtype=np.int32),
+                              SamplingParams(max_new_tokens=6))
+        done = eng.run()
+        assert len(done[0].output) == 6
+        assert all(0 <= t < CFG.vocab_size for t in done[0].output)
