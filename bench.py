@@ -29,7 +29,7 @@ BATCH = 8
 CTX = 512  # cache fill at steady state
 CACHE_LEN = 1024
 WARMUP = 3
-ITERS = 64
+ITERS = 256
 
 
 def make_decode_loop(cfg, attn_impl, n_steps):
@@ -56,19 +56,31 @@ def make_decode_loop(cfg, attn_impl, n_steps):
     return loop
 
 
+def _sync(x):
+    """True device sync: fetch one element. Over the axon remote tunnel,
+    block_until_ready can return before execution completes on a cold
+    pipeline; a host fetch cannot lie."""
+    import numpy as np
+
+    jax.block_until_ready(x)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.reshape(-1)[:1])
+
+
 def bench_decode(params, cfg, kv_dtype, attn_impl="auto"):
     cache = init_kv_cache(cfg, BATCH, CACHE_LEN, dtype=kv_dtype)
     lens = jnp.full((BATCH,), CTX, jnp.int32)
     toks = jnp.ones((BATCH, 1), jnp.int32)
     loop = make_decode_loop(cfg, attn_impl, ITERS)
-    # warmup = compile + one full loop
-    jax.block_until_ready(loop(params, cache, toks, lens))
+    # warmup = compile + one full loop, with a real host fetch as the barrier
+    _sync(loop(params, cache, toks, lens))
     times = []
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(params, cache, toks, lens))
+        _sync(loop(params, cache, toks, lens))
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    times = sorted(times[1:])  # drop the first (cold-pipeline artifacts)
+    dt = times[len(times) // 2]  # median of warm trials
     return BATCH * ITERS / dt  # tokens/s
 
 

@@ -45,8 +45,10 @@ def _fwd_kernel(
     k_ref,  # [1, 1, D, bk] — K stored contraction-major (Mosaic bf16 matmul
     #         requires the contraction on the sublane axis of the rhs)
     v_ref,  # [1, 1, bk, D]
-    # blocked output
+    # blocked outputs
     o_ref,  # [1, 1, bq, D]
+    lse_ref,  # [1, 1, 8, bq] f32 log-sum-exp residual (8 sublanes to satisfy
+    #           the TPU (8, 128) min-tile rule; all 8 rows identical)
     # scratch
     m_ref,  # [bq, 128] f32
     l_ref,  # [bq, 128] f32
@@ -131,6 +133,11 @@ def _fwd_kernel(
         l = l_ref[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        # Log-sum-exp residual for the backward pass (fully-masked rows get
+        # -inf; backward turns them into zero gradients).
+        m = m_ref[...][:, :1]
+        lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l))
+        lse_ref[0, 0] = jnp.broadcast_to(lse[:, 0][None, :], lse_ref.shape[2:])
 
 
 def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
@@ -143,45 +150,15 @@ def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
     return jnp.pad(x, pads)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "causal", "window", "softcap", "scale", "block_q", "block_k",
-        "interpret",
-    ),
-)
-def flash_attention(
-    q: jax.Array,  # [B, Sq, Hq, D]
-    k: jax.Array,  # [B, Sk, Hk, D]
-    v: jax.Array,  # [B, Sk, Hk, D]
-    *,
-    causal: bool = True,
-    window: Optional[int] = None,
-    softcap: Optional[float] = None,
-    scale: Optional[float] = None,
-    q_offset: int | jax.Array = 0,
-    kv_lens: Optional[jax.Array] = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
-    interpret: Optional[bool] = None,
-) -> jax.Array:
-    """Flash attention over bshd tensors; semantics of
-    :func:`llm_fp8_tpu.ops.attention.attention_ref`.
-
-    ``interpret=None`` auto-selects Pallas interpreter mode off-TPU so the
-    same code path is testable on the CPU backend.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _flash_fwd_call(
+    q, k, v, q_offset, kv_lens,
+    *, causal, window, softcap, scale, block_q, block_k, interpret,
+):
+    """Forward kernel launch; returns (out bshd, lse [B, Hq, Sq_p])."""
     B, Sq, Hq, D = q.shape
     _, Sk, Hk, _ = k.shape
     assert Hq % Hk == 0, (Hq, Hk)
     groups = Hq // Hk
-    scale = scale if scale is not None else D ** -0.5
-
-    if kv_lens is None:
-        kv_lens = jnp.full((B,), Sk, jnp.int32)
-    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
 
     # bhsd layout inside the kernel (K contraction-major: [B, Hk, D, Sk]);
     # pad seq dims to tile multiples.
@@ -204,7 +181,7 @@ def flash_attention(
         num_k_tiles=num_k_tiles,
     )
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -223,20 +200,122 @@ def flash_attention(
                     lambda b, h, qi, ki, *_: (b, h // groups, ki, 0),
                 ),
             ],
-            out_specs=pl.BlockSpec(
-                (1, 1, block_q, D), lambda b, h, qi, ki, *_: (b, h, qi, 0)
-            ),
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, D), lambda b, h, qi, ki, *_: (b, h, qi, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 8, block_q), lambda b, h, qi, ki, *_: (b, h, 0, qi)
+                ),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, D), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, 8, Sq_p), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(q_offset, kv_lens, qt, kt, vt)
 
-    return out[:, :, :Sq].transpose(0, 2, 1, 3)
+    return out[:, :, :Sq].transpose(0, 2, 1, 3), lse
+
+
+class _FlashCfg:
+    """Hashable static config for the custom_vjp nondiff argument."""
+
+    __slots__ = ("causal", "window", "softcap", "scale", "block_q", "block_k",
+                 "interpret")
+
+    def __init__(self, **kw):
+        for k_, v_ in kw.items():
+            setattr(self, k_, v_)
+
+    def _key(self):
+        return tuple(getattr(self, s) for s in self.__slots__)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, _FlashCfg) and self._key() == other._key()
+
+    def asdict(self):
+        return {s: getattr(self, s) for s in self.__slots__}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _flash(q, k, v, q_offset, kv_lens, cfg: _FlashCfg):
+    out, _ = _flash_fwd_call(q, k, v, q_offset, kv_lens, **cfg.asdict())
+    return out
+
+
+def _flash_fwd_rule(q, k, v, q_offset, kv_lens, cfg: _FlashCfg):
+    out, lse = _flash_fwd_call(q, k, v, q_offset, kv_lens, **cfg.asdict())
+    return out, (q, k, v, out, lse, q_offset, kv_lens)
+
+
+def _flash_bwd_rule(cfg: _FlashCfg, res, do):
+    import numpy as np
+
+    from .flash_attention_bwd import flash_attention_bwd
+
+    if cfg.softcap is not None:
+        raise NotImplementedError(
+            "softcap backward not implemented (inference-only feature)"
+        )
+    q, k, v, out, lse, q_offset, kv_lens = res
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, out, lse, do,
+        causal=cfg.causal, window=cfg.window, scale=cfg.scale,
+        q_offset=q_offset, kv_lens=kv_lens,
+        block_q=cfg.block_q, block_k=cfg.block_k, interpret=cfg.interpret,
+    )
+    zero_int = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
+    return dq, dk, dv, zero_int(q_offset), zero_int(kv_lens)
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(
+    q: jax.Array,  # [B, Sq, Hq, D]
+    k: jax.Array,  # [B, Sk, Hk, D]
+    v: jax.Array,  # [B, Sk, Hk, D]
+    *,
+    causal: bool = True,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    scale: Optional[float] = None,
+    q_offset: int | jax.Array = 0,
+    kv_lens: Optional[jax.Array] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Flash attention over bshd tensors; semantics of
+    :func:`llm_fp8_tpu.ops.attention.attention_ref`. Differentiable: the
+    backward runs the Pallas dKV/dQ kernels (flash_attention_bwd).
+
+    ``interpret=None`` auto-selects Pallas interpreter mode off-TPU so the
+    same code path is testable on the CPU backend.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, Sq, Hq, D = q.shape
+    _, Sk, _, _ = k.shape
+    if kv_lens is None:
+        kv_lens = jnp.full((B,), Sk, jnp.int32)
+    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+    cfg = _FlashCfg(
+        causal=causal, window=window, softcap=softcap,
+        scale=scale if scale is not None else D ** -0.5,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    return _flash(q, k, v, q_offset, kv_lens, cfg)

@@ -1,0 +1,291 @@
+"""Pallas flash-attention backward kernels (dK/dV and dQ).
+
+TPU-native equivalent of the reference's FA2 backward
+(``csrc/flash_attn/src/flash_bwd_kernel.h`` + the ``di = rowsum(o·do)``
+preprocess kernel, SURVEY.md §2c #38): softmax weights are *recomputed* per
+tile from the saved log-sum-exp, so the [Sq, Sk] score matrix never
+materializes in the backward either.
+
+Two kernels with opposite iteration orders (the reference's dKV/dQ split,
+``flash-attention-2.8.0`` backward design):
+  * dKV: grid over KV tiles, inner loop (trailing sequential grid dim) over
+    Q tiles — dk/dv accumulate in VMEM scratch.
+  * dQ:  grid over Q tiles, inner over KV tiles — dq accumulates in scratch.
+
+GQA: gradients are produced per *query* head ([B, Hq, Sk, D]) and
+segment-summed over the group outside the kernel — no cross-head races.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _recompute_p_and_ds(
+    q, kT, vT, do, lse, di, *, scale, causal, window,
+    q_off, kv_len, qi, ki, block_q, block_k,
+):
+    """Shared tile math: p (softmax weights) and ds (score grads), f32."""
+    s = jax.lax.dot(q, kT, preferred_element_type=jnp.float32) * scale
+    q_pos = (
+        q_off + qi * block_q
+        + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    )
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    mask = k_pos < kv_len
+    if causal:
+        mask &= k_pos <= q_pos
+    if window is not None:
+        mask &= k_pos > q_pos - window
+    # p from the saved LSE: exp(s - lse). Fully-masked rows have lse=-inf;
+    # guard the exp so they produce 0, not NaN.
+    lse_col = lse[:, None]
+    p = jnp.where(
+        mask & jnp.isfinite(lse_col), jnp.exp(s - jnp.where(
+            jnp.isfinite(lse_col), lse_col, 0.0)), 0.0
+    )
+    dp = jax.lax.dot(do, vT, preferred_element_type=jnp.float32)
+    ds = p * (dp - di[:, None]) * scale
+    return p, ds
+
+
+def _dkv_kernel(
+    q_offset_ref, kv_lens_ref,
+    q_ref, kT_ref, v_ref, vT_ref, do_ref, lse_ref, di_ref,
+    dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *, scale, causal, window, block_q, block_k, num_q_tiles,
+):
+    b, ki, qi = pl.program_id(0), pl.program_id(2), pl.program_id(3)
+    q_off = q_offset_ref[b]
+    kv_len = kv_lens_ref[b]
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    run = ki * block_k < kv_len
+    if causal:
+        # Tile is dead if even the largest q position is left of the tile.
+        run = jnp.logical_and(
+            run, q_off + qi * block_q + block_q - 1 >= ki * block_k
+        )
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        p, ds = _recompute_p_and_ds(
+            q, kT_ref[0, 0], vT_ref[0, 0], do, lse_ref[0, 0, 0], di_ref[0, 0, 0],
+            scale=scale, causal=causal, window=window, q_off=q_off,
+            kv_len=kv_len, qi=qi, ki=ki, block_q=block_q, block_k=block_k,
+        )
+        dtype = q.dtype
+        dv_acc[...] += jax.lax.dot(
+            p.T.astype(dtype), do, preferred_element_type=jnp.float32
+        )
+        dk_acc[...] += jax.lax.dot(
+            ds.T.astype(dtype), q, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(qi == num_q_tiles - 1)
+    def _():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _dq_kernel(
+    q_offset_ref, kv_lens_ref,
+    q_ref, kT_ref, k_ref, vT_ref, do_ref, lse_ref, di_ref,
+    dq_ref,
+    dq_acc,
+    *, scale, causal, window, block_q, block_k, num_k_tiles,
+):
+    b, qi, ki = pl.program_id(0), pl.program_id(2), pl.program_id(3)
+    q_off = q_offset_ref[b]
+    kv_len = kv_lens_ref[b]
+
+    @pl.when(ki == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    run = ki * block_k < kv_len
+    if causal:
+        run = jnp.logical_and(
+            run, q_off + qi * block_q + block_q - 1 >= ki * block_k
+        )
+    if window is not None:
+        run = jnp.logical_and(
+            run, ki * block_k + block_k - 1 > q_off + qi * block_q - window
+        )
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0]
+        _, ds = _recompute_p_and_ds(
+            q, kT_ref[0, 0], vT_ref[0, 0], do_ref[0, 0], lse_ref[0, 0, 0],
+            di_ref[0, 0, 0],
+            scale=scale, causal=causal, window=window, q_off=q_off,
+            kv_len=kv_len, qi=qi, ki=ki, block_q=block_q, block_k=block_k,
+        )
+        dq_acc[...] += jax.lax.dot(
+            ds.astype(q.dtype), k_ref[0, 0], preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ki == num_k_tiles - 1)
+    def _():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def flash_attention_bwd(
+    q, k, v, o, lse, do,
+    *,
+    causal: bool,
+    window: Optional[int],
+    scale: float,
+    q_offset: jax.Array,  # [B]
+    kv_lens: jax.Array,  # [B]
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+):
+    """dq, dk, dv for bshd flash attention.
+
+    ``lse``: [B, Hq, 8, Sq_p] from the forward kernel (8 identical sublanes) (padded seq). Shapes of
+    q/k/v/o/do are the public bshd unpadded shapes.
+    """
+    B, Sq, Hq, D = q.shape
+    _, Sk, Hk, _ = k.shape
+    groups = Hq // Hk
+
+    def pad(x, axis, m):
+        rem = (-x.shape[axis]) % m
+        if rem == 0:
+            return x
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (0, rem)
+        return jnp.pad(x, pads)
+
+    qt = pad(q.transpose(0, 2, 1, 3), 2, block_q)  # [B,Hq,Sqp,D]
+    dot_ = pad(do.transpose(0, 2, 1, 3), 2, block_q)
+    ot = pad(o.transpose(0, 2, 1, 3), 2, block_q)
+    kt = pad(k.transpose(0, 2, 1, 3), 2, block_k)  # [B,Hk,Skp,D]
+    kT = pad(k.transpose(0, 2, 3, 1), 3, block_k)  # [B,Hk,D,Skp]
+    vt = pad(v.transpose(0, 2, 1, 3), 2, block_k)
+    vT = pad(v.transpose(0, 2, 3, 1), 3, block_k)
+    Sq_p, Sk_p = qt.shape[2], kt.shape[2]
+    nq, nk = Sq_p // block_q, Sk_p // block_k
+
+    # di = rowsum(o * do) — the reference's preprocess kernel; XLA fuses this.
+    di = jnp.sum(
+        ot.astype(jnp.float32) * dot_.astype(jnp.float32), axis=-1
+    )  # [B,Hq,Sqp] -> 8-sublane layout matching the forward's lse output
+    di = jnp.broadcast_to(di[:, :, None, :], lse.shape)
+
+    common = dict(scale=scale, causal=causal, window=window,
+                  block_q=block_q, block_k=block_k)
+
+    # ---- dK/dV (per q-head, grid: b, h, ki, qi-inner) ----
+    dkv = pl.pallas_call(
+        functools.partial(_dkv_kernel, num_q_tiles=nq, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, Hq, nk, nq),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, ki, qi, *_: (b, h, qi, 0)),  # q
+                pl.BlockSpec((1, 1, D, block_k),
+                             lambda b, h, ki, qi, *_: (b, h // groups, 0, ki)),  # kT
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, h, ki, qi, *_: (b, h // groups, ki, 0)),  # v
+                pl.BlockSpec((1, 1, D, block_k),
+                             lambda b, h, ki, qi, *_: (b, h // groups, 0, ki)),  # vT
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, ki, qi, *_: (b, h, qi, 0)),  # do
+                pl.BlockSpec((1, 1, 8, block_q),
+                             lambda b, h, ki, qi, *_: (b, h, 0, qi)),  # lse
+                pl.BlockSpec((1, 1, 8, block_q),
+                             lambda b, h, ki, qi, *_: (b, h, 0, qi)),  # di
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, h, ki, qi, *_: (b, h, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, h, ki, qi, *_: (b, h, ki, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, D), jnp.float32),
+                pltpu.VMEM((block_k, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hq, Sk_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Sk_p, D), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_offset, kv_lens, qt, kT, vt, vT, dot_, lse, di)
+    dk_per_q, dv_per_q = dkv
+
+    # ---- dQ (grid: b, h, qi, ki-inner) ----
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, num_k_tiles=nk, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, Hq, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, qi, ki, *_: (b, h, qi, 0)),  # q
+                pl.BlockSpec((1, 1, D, block_k),
+                             lambda b, h, qi, ki, *_: (b, h // groups, 0, ki)),  # kT
+                pl.BlockSpec((1, 1, block_k, D),
+                             lambda b, h, qi, ki, *_: (b, h // groups, ki, 0)),  # k
+                pl.BlockSpec((1, 1, D, block_k),
+                             lambda b, h, qi, ki, *_: (b, h // groups, 0, ki)),  # vT
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, qi, ki, *_: (b, h, qi, 0)),  # do
+                pl.BlockSpec((1, 1, 8, block_q),
+                             lambda b, h, qi, ki, *_: (b, h, 0, qi)),  # lse
+                pl.BlockSpec((1, 1, 8, block_q),
+                             lambda b, h, qi, ki, *_: (b, h, 0, qi)),  # di
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, D),
+                                   lambda b, h, qi, ki, *_: (b, h, qi, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_offset, kv_lens, qt, kT, kt, vT, dot_, lse, di)
+
+    dq_out = dq[:, :, :Sq].transpose(0, 2, 1, 3)
+    # GQA: fold per-q-head dk/dv over the group.
+    dk_out = (
+        dk_per_q[:, :, :Sk]
+        .reshape(B, Hk, groups, Sk, D)
+        .sum(axis=2)
+        .transpose(0, 2, 1, 3)
+        .astype(k.dtype)
+    )
+    dv_out = (
+        dv_per_q[:, :, :Sk]
+        .reshape(B, Hk, groups, Sk, D)
+        .sum(axis=2)
+        .transpose(0, 2, 1, 3)
+        .astype(v.dtype)
+    )
+    return dq_out, dk_out, dv_out

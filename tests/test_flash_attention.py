@@ -97,6 +97,66 @@ class TestFlashForward:
         want = attention_ref(q, k, v, causal=True)
         assert_close(got, want, q.dtype)
 
+    @pytest.mark.parametrize("causal", [True, False])
+    @pytest.mark.parametrize(
+        "B,S,Hq,Hk,D",
+        [(1, 128, 2, 2, 64), (2, 256, 4, 2, 64), (1, 256, 4, 1, 128)],
+    )
+    def test_backward_matches_reference(self, causal, B, S, Hq, Hk, D):
+        q, k, v = make_qkv(20, B, S, S, Hq, Hk, D)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, causal=causal) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attention_ref(q, k, v, causal=causal) ** 2)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", g_flash, g_ref):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
+            assert rel < 2e-2, (name, rel)
+
+    def test_backward_kv_lens_and_padding(self):
+        # Unaligned seq + ragged kv lens: padded tail grads must be exact 0.
+        q, k, v = make_qkv(21, 2, 100, 100, 2, 2, 64)
+        lens = jnp.array([60, 100], jnp.int32)
+
+        def loss(q, k, v, impl):
+            if impl == "flash":
+                o = flash_attention(q, k, v, causal=True, kv_lens=lens)
+            else:
+                o = attention_ref(q, k, v, causal=True, kv_lens=lens)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, "flash")
+        gr = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, "ref")
+        atol = 2e-2 if jax.default_backend() == "tpu" else 2e-3
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-2, atol=atol
+            )
+        # dk/dv beyond each sequence's kv_len are zero.
+        assert np.allclose(np.asarray(gf[1])[0, 60:], 0.0)
+
+    def test_backward_window(self):
+        q, k, v = make_qkv(22, 1, 256, 256, 2, 2, 64)
+
+        def lf(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, causal=True, window=64) ** 2)
+
+        def lr(q, k, v):
+            return jnp.sum(attention_ref(q, k, v, causal=True, window=64) ** 2)
+
+        gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            rel = np.linalg.norm(np.asarray(a) - np.asarray(b)) / max(
+                np.linalg.norm(np.asarray(b)), 1e-9
+            )
+            assert rel < 2e-2, rel
+
     def test_determinism_by_repetition(self):
         # The reference's race-condition test: repeated runs bit-identical.
         q, k, v = make_qkv(8, 2, 256, 256, 4, 2, 64, jnp.bfloat16)

@@ -1,0 +1,51 @@
+"""Ring attention vs single-device reference on the virtual 8-device mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from llm_fp8_tpu.ops.attention import attention_ref
+from llm_fp8_tpu.parallel.ring_attention import ring_attention
+
+
+def run_ring(q, k, v, n_dev, causal):
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("cp",))
+    fn = shard_map(
+        lambda q, k, v: ring_attention(q, k, v, "cp", causal=causal),
+        mesh=mesh,
+        in_specs=(P(None, "cp"), P(None, "cp"), P(None, "cp")),
+        out_specs=P(None, "cp"),
+        check_rep=False,
+    )
+    return fn(q, k, v)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_matches_reference(causal, n_dev):
+    S = 256 * n_dev  # 256 per chip
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (1, S, 4, 64), jnp.float32)
+    k = jax.random.normal(kk, (1, S, 2, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, S, 2, 64), jnp.float32)
+    got = run_ring(q, k, v, n_dev, causal)
+    want = attention_ref(q, k, v, causal=causal)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_long_context_8way():
+    # 8 chips × 128 = 1024 context; causal.
+    S = 128 * 8
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(kq, (1, S, 2, 64), jnp.float32)
+    k = jax.random.normal(kk, (1, S, 2, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, S, 2, 64), jnp.float32)
+    got = run_ring(q, k, v, 8, True)
+    want = attention_ref(q, k, v, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
