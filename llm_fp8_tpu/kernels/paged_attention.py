@@ -1,0 +1,194 @@
+"""Paged-attention decode kernel: flash decode over a block-table KV cache.
+
+Device half of the paged KV cache (host half:
+``llm_fp8_tpu.serving.block_table``). Equivalent of the reference's paged-KV
+decode path — ``flash_attn_with_kvcache`` with ``block_table``
+(``csrc/flash_attn/flash_api.cpp:557-581, 1202+``) and the FA3 ``paged_kv.h``
+machinery — re-designed for TPU: pages live in HBM; the kernel DMAs each
+sequence's pages into a double-buffered VMEM scratch (overlapping the next
+page's fetch with the current page's math) and runs online softmax per page.
+
+Layout:
+  q:        [B, Hq, D]                      (one decode token per sequence)
+  k_pages:  [Hk, num_pages, D, page_size]   (fp8 e4m3 or bf16; lane-major —
+            the page axis sits on the 128-lane dimension so per-page DMA
+            slices stay tile-aligned for any head_dim, and K arrives
+            contraction-major for the q·k matmul)
+  v_pages:  [Hk, num_pages, D, page_size]
+  lengths:  [B] int32                       valid tokens per sequence
+  page_tables: [B, max_pages] int32         physical page ids
+Output: [B, Hq, D].
+
+GQA is packed into sublanes: the kernel processes one (batch, kv-head) pair
+per grid cell with all ``Hq/Hk`` grouped query heads as rows of a single
+MXU operand (the reference's ``pack_gqa`` idea, ``hopper/pack_gqa.h``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["paged_attention"]
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _kernel(
+    # scalar prefetch
+    lengths_ref,  # [B]
+    tables_ref,  # [B, max_pages]
+    # inputs
+    q_ref,  # [1, 1, G8, D] VMEM (grouped q heads, padded to 8 sublanes)
+    k_pages_ref,  # [Hk, P, D, page] HBM (lane-major pages)
+    v_pages_ref,  # [Hk, P, D, page] HBM
+    # output
+    o_ref,  # [1, 1, G8, D]
+    # scratch
+    k_buf,  # [2, D, page] VMEM
+    v_buf,  # [2, D, page] VMEM
+    sems,  # DMA sems [2, 2]
+    *,
+    page_size: int,
+    max_pages: int,
+    scale: float,
+    kv_scale: float,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    length = lengths_ref[b]
+    n_pages = jax.lax.div(length + page_size - 1, page_size)
+
+    def start_fetch(slot, page_idx):
+        page = tables_ref[b, page_idx]
+        pltpu.make_async_copy(
+            k_pages_ref.at[h, page], k_buf.at[slot], sems.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            v_pages_ref.at[h, page], v_buf.at[slot], sems.at[slot, 1]
+        ).start()
+
+    def wait_fetch(slot):
+        pltpu.make_async_copy(
+            k_pages_ref.at[h, 0], k_buf.at[slot], sems.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            v_pages_ref.at[h, 0], v_buf.at[slot], sems.at[slot, 1]
+        ).wait()
+
+    @pl.when(n_pages > 0)
+    def _():
+        start_fetch(0, 0)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale  # [G8, D]
+    G8 = q.shape[0]
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_pages)
+        def _():
+            start_fetch(1 - slot, i + 1)
+
+        wait_fetch(slot)
+        k = k_buf[slot].astype(jnp.float32) * kv_scale  # [D, page]
+        v = v_buf[slot].astype(jnp.float32) * kv_scale  # [D, page]
+
+        s = jax.lax.dot(q, k, preferred_element_type=jnp.float32)  # [G8, page]
+        pos = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (G8, page_size), 1
+        )
+        s = jnp.where(pos < length, s, MASK_VALUE)
+
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+        # p [G8, page] · v [D, page] contracted over the page axis.
+        acc_next = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_next, l_next, acc_next
+
+    D = q.shape[-1]
+    init = (
+        jnp.full((G8, 1), -jnp.inf, jnp.float32),
+        jnp.zeros((G8, 1), jnp.float32),
+        jnp.zeros((G8, D), jnp.float32),
+    )
+    m, l, acc = jax.lax.fori_loop(0, n_pages, body, init)
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0, 0] = (acc * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "kv_scale", "interpret")
+)
+def paged_attention(
+    q: jax.Array,  # [B, Hq, D]
+    k_pages: jax.Array,  # [Hk, P, D, page]
+    v_pages: jax.Array,
+    lengths: jax.Array,  # [B]
+    page_tables: jax.Array,  # [B, max_pages]
+    *,
+    scale: Optional[float] = None,
+    kv_scale: float = 1.0,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, Hq, D = q.shape
+    Hk, P, _, page_size = k_pages.shape
+    groups = Hq // Hk
+    max_pages = page_tables.shape[1]
+    scale = scale if scale is not None else D ** -0.5
+
+    # Pack grouped q heads into sublanes, padded to the f32 min tile (8).
+    G8 = max(8, groups)
+    qg = q.reshape(B, Hk, groups, D)
+    if G8 != groups:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, G8 - groups), (0, 0)))
+
+    kernel = functools.partial(
+        _kernel,
+        page_size=page_size,
+        max_pages=max_pages,
+        scale=scale,
+        kv_scale=kv_scale,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, Hk),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, G8, D), lambda b, h, *_: (b, h, 0, 0)
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),  # k pages stay in HBM
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, G8, D), lambda b, h, *_: (b, h, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, D, page_size), k_pages.dtype),
+                pltpu.VMEM((2, D, page_size), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hk, G8, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, page_tables, qg, k_pages, v_pages)
+
+    return out[:, :, :groups].reshape(B, Hq, D)

@@ -67,7 +67,11 @@ def qdot(
     first and XLA fuses the expand+multiply into the dot's operand read.
     """
     if impl is None:
-        impl = "fused" if jax.default_backend() == "tpu" else "xla"
+        import os
+
+        impl = os.environ.get("LLM_FP8_QDOT") or (
+            "fused" if jax.default_backend() == "tpu" else "xla"
+        )
     if impl == "fused":
         from llm_fp8_tpu.kernels.quant_matmul import qdot_fused
 
