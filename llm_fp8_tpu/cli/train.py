@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--dp", type=int, default=1)
     m.add_argument("--fsdp", type=int, default=-1)
     m.add_argument("--tp", type=int, default=1)
+    m.add_argument("--multihost", action="store_true",
+                   help="Call jax.distributed.initialize() (multi-host slice;"
+                        " replaces the reference's torchrun/NCCL bootstrap,"
+                        " train_multi_gpu.py:969-1006)")
 
     l = p.add_argument_group("Logging and Saving")
     l.add_argument("--log_dir", type=str, default="./runs")
@@ -80,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.multihost:
+        jax.distributed.initialize()
 
     from llm_fp8_tpu.models import get_config, init_params, load_hf_checkpoint
     from llm_fp8_tpu.parallel import MeshConfig, make_mesh, shard_params, batch_spec

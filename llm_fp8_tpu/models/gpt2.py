@@ -1,0 +1,163 @@
+"""GPT-2 family: the classic pre-LN decoder (learned positions, LayerNorm,
+GELU MLP).
+
+Zoo breadth beyond the Llama/Qwen fine-tuning targets — the reference ships a
+model zoo around its kernels with GPT as the flagship
+(``flash_attn/models/gpt.py:577`` ``GPTLMHeadModel``). Same functional
+conventions as ``models/llama.py``: stacked layer params, ``lax.scan``
+forward, weights usable as plain arrays or prequantized QTensors.
+
+HF note: GPT-2 checkpoints store linear weights as ``Conv1D`` ``[in, out]`` —
+already our layout, so the loader does NOT transpose (unlike Llama).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llm_fp8_tpu.ops.attention import attention
+from llm_fp8_tpu.ops.layernorm import layernorm
+from llm_fp8_tpu.quant import QTensor, qdot
+
+__all__ = ["GPT2Config", "GPT2_REGISTRY", "init_gpt2_params", "gpt2_forward",
+           "pack_gpt2_state_dict"]
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT2Config:
+    name: str
+    vocab_size: int = 50257
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    max_position_embeddings: int = 1024
+    ln_eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def intermediate_size(self) -> int:
+        return 4 * self.hidden_size
+
+
+GPT2_REGISTRY = {
+    "gpt2": GPT2Config(name="gpt2"),
+    "gpt2-medium": GPT2Config(name="gpt2-medium", hidden_size=1024,
+                              num_layers=24, num_heads=16),
+    "gpt2-large": GPT2Config(name="gpt2-large", hidden_size=1280,
+                             num_layers=36, num_heads=20),
+    "gpt2-xl": GPT2Config(name="gpt2-xl", hidden_size=1600,
+                          num_layers=48, num_heads=25),
+    "debug-gpt2": GPT2Config(name="debug-gpt2", vocab_size=512,
+                             hidden_size=128, num_layers=2, num_heads=4,
+                             max_position_embeddings=256),
+}
+
+
+def init_gpt2_params(cfg: GPT2Config, key: jax.Array, dtype=jnp.float32):
+    k = iter(jax.random.split(key, 8))
+    D, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+
+    def w(key, shape, std=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+    return {
+        "wte": w(next(k), (cfg.vocab_size, D)),
+        "wpe": w(next(k), (cfg.max_position_embeddings, D), 0.01),
+        "layers": {
+            "ln1_w": jnp.ones((L, D), dtype), "ln1_b": jnp.zeros((L, D), dtype),
+            "ln2_w": jnp.ones((L, D), dtype), "ln2_b": jnp.zeros((L, D), dtype),
+            "w_qkv": w(next(k), (L, D, 3 * D)),
+            "b_qkv": jnp.zeros((L, 3 * D), dtype),
+            "w_out": w(next(k), (L, D, D)),
+            "b_out": jnp.zeros((L, D), dtype),
+            "w_fc": w(next(k), (L, D, I)),
+            "b_fc": jnp.zeros((L, I), dtype),
+            "w_proj": w(next(k), (L, I, D)),
+            "b_proj": jnp.zeros((L, D), dtype),
+        },
+        "lnf_w": jnp.ones((D,), dtype),
+        "lnf_b": jnp.zeros((D,), dtype),
+    }
+
+
+def pack_gpt2_state_dict(sd: Dict[str, jax.Array], cfg: GPT2Config,
+                         dtype=jnp.float32):
+    """HF GPT2LMHeadModel state dict → stacked params (Conv1D: no transpose)."""
+
+    def g(name):
+        return jnp.asarray(sd[name]).astype(dtype)
+
+    L = cfg.num_layers
+    stack = lambda fmt: jnp.stack([g(fmt.format(i)) for i in range(L)])  # noqa: E731
+    return {
+        "wte": g("transformer.wte.weight"),
+        "wpe": g("transformer.wpe.weight"),
+        "layers": {
+            "ln1_w": stack("transformer.h.{}.ln_1.weight"),
+            "ln1_b": stack("transformer.h.{}.ln_1.bias"),
+            "ln2_w": stack("transformer.h.{}.ln_2.weight"),
+            "ln2_b": stack("transformer.h.{}.ln_2.bias"),
+            "w_qkv": stack("transformer.h.{}.attn.c_attn.weight"),
+            "b_qkv": stack("transformer.h.{}.attn.c_attn.bias"),
+            "w_out": stack("transformer.h.{}.attn.c_proj.weight"),
+            "b_out": stack("transformer.h.{}.attn.c_proj.bias"),
+            "w_fc": stack("transformer.h.{}.mlp.c_fc.weight"),
+            "b_fc": stack("transformer.h.{}.mlp.c_fc.bias"),
+            "w_proj": stack("transformer.h.{}.mlp.c_proj.weight"),
+            "b_proj": stack("transformer.h.{}.mlp.c_proj.bias"),
+        },
+        "lnf_w": g("transformer.ln_f.weight"),
+        "lnf_b": g("transformer.ln_f.bias"),
+    }
+
+
+def _dot(x, w):
+    if isinstance(w, QTensor):
+        return qdot(x, w)
+    return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def gpt2_forward(
+    params: Dict[str, Any],
+    tokens: jax.Array,
+    cfg: GPT2Config,
+    *,
+    attn_impl: str = "auto",
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """``tokens [B, S] -> logits [B, S, V]`` (training/eval forward)."""
+    B, S = tokens.shape
+    D, H, Dh = cfg.hidden_size, cfg.num_heads, cfg.head_dim
+    pos = jnp.arange(S)
+    x = (
+        jnp.take(params["wte"], tokens, axis=0)
+        + jnp.take(params["wpe"], pos, axis=0)[None]
+    ).astype(compute_dtype)
+
+    def body(x, lp):
+        h = layernorm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+        qkv = _dot(h, lp["w_qkv"]) + lp["b_qkv"].astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, S, H, Dh)
+        k = k.reshape(B, S, H, Dh)
+        v = v.reshape(B, S, H, Dh)
+        a = attention(q, k, v, causal=True, impl=attn_impl)
+        x = x + _dot(a.reshape(B, S, D), lp["w_out"]) + lp["b_out"].astype(x.dtype)
+
+        h = layernorm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+        h = _dot(h, lp["w_fc"]) + lp["b_fc"].astype(x.dtype)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
+        x = x + _dot(h, lp["w_proj"]) + lp["b_proj"].astype(x.dtype)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = layernorm(x, params["lnf_w"], params["lnf_b"], cfg.ln_eps)
+    return jnp.dot(
+        x, params["wte"].T.astype(x.dtype), preferred_element_type=jnp.float32
+    ).astype(jnp.float32)

@@ -1,5 +1,6 @@
 """GSPMD distribution: mesh + sharding rules (replaces DDP/FSDP/TP wrappers)."""
 from .mesh import MeshConfig, make_mesh, AXIS_DP, AXIS_FSDP, AXIS_TP
+from .ring_attention import ring_attention
 from .sharding import (
     param_specs,
     shard_params,
@@ -12,5 +13,5 @@ from .sharding import (
 __all__ = [
     "MeshConfig", "make_mesh", "AXIS_DP", "AXIS_FSDP", "AXIS_TP",
     "param_specs", "shard_params", "batch_spec", "activation_spec",
-    "kv_cache_spec", "constrain",
+    "kv_cache_spec", "constrain", "ring_attention",
 ]

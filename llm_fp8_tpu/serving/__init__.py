@@ -1,4 +1,10 @@
 """Serving: continuous-batching FP8 inference engine."""
 from .engine import Engine, EngineConfig, SamplingParams, Request
+from .block_table import BlockAllocator, SequenceTable, native_available
+from .speculative import SpeculativeDecoder
 
-__all__ = ["Engine", "EngineConfig", "SamplingParams", "Request"]
+__all__ = [
+    "Engine", "EngineConfig", "SamplingParams", "Request",
+    "BlockAllocator", "SequenceTable", "native_available",
+    "SpeculativeDecoder",
+]

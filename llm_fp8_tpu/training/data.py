@@ -160,6 +160,56 @@ def make_batches(
         yield {"input_ids": ids, "attention_mask": mask}
 
 
+class ResumableBatches:
+    """Fault-tolerant batch iterator: checkpointable epoch/position state.
+
+    Parity with the reference's ``RandomFaultTolerantSampler`` /
+    ``FaultTolerantDistributedSampler``
+    (``training/src/datamodules/fault_tolerant_sampler.py:9-103``): the
+    shuffle is a pure function of ``(seed, epoch)``, and the iterator records
+    how many batches it has yielded, so a restore reproduces the exact
+    remaining stream of the interrupted epoch.
+    """
+
+    def __init__(self, seqs, batch_size: int, *, max_len: int,
+                 pad_token_id: int = 0, pad_to_multiple_of: int = 16,
+                 seed: int = 0):
+        self.seqs = seqs
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self.pad_token_id = pad_token_id
+        self.pad_to_multiple_of = pad_to_multiple_of
+        self.seed = seed
+        self.epoch = 0
+        self.batch_index = 0
+
+    def state_dict(self) -> Dict[str, int]:
+        return {"epoch": self.epoch, "batch_index": self.batch_index,
+                "seed": self.seed}
+
+    def load_state_dict(self, state: Dict[str, int]) -> None:
+        self.epoch = int(state["epoch"])
+        self.batch_index = int(state["batch_index"])
+        self.seed = int(state["seed"])
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield the remainder of the current epoch (fast-forwarding past
+        already-consumed batches), then advance the epoch."""
+        batches = list(
+            make_batches(
+                self.seqs, self.batch_size, max_len=self.max_len,
+                pad_to_multiple_of=self.pad_to_multiple_of,
+                pad_token_id=self.pad_token_id, shuffle=True,
+                seed=self.seed + self.epoch,
+            )
+        )
+        for i in range(self.batch_index, len(batches)):
+            self.batch_index = i + 1
+            yield batches[i]
+        self.epoch += 1
+        self.batch_index = 0
+
+
 def synthetic_examples(n: int, seed: int = 0) -> List[Dict[str, str]]:
     """Deterministic math-like corpus for air-gapped tests and benches."""
     rng = np.random.RandomState(seed)

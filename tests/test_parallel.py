@@ -101,6 +101,33 @@ def test_indivisible_dims_fall_back_replicated():
     assert np.all(np.isfinite(np.asarray(logits)))
 
 
+def test_sequence_parallel_activation_constraint():
+    # Megatron-style SP: activations sharded along seq over tp between
+    # blocks. Under GSPMD this is an activation constraint; numerics must be
+    # unchanged vs the unsharded forward.
+    from llm_fp8_tpu.parallel import activation_spec, constrain
+    from llm_fp8_tpu.models.llama import forward as fwd
+    from llm_fp8_tpu.ops.rmsnorm import rmsnorm
+
+    params, tokens = _make(7)
+    want, _ = forward(params, tokens, CFG, compute_dtype=jnp.float32,
+                      attn_impl="ref")
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=1, tp=8))
+    sharded = shard_params(params, mesh)
+    tok = jax.device_put(tokens, NamedSharding(mesh, batch_spec()))
+
+    @jax.jit
+    def f(p, t):
+        logits, _ = forward(p, t, CFG, compute_dtype=jnp.float32,
+                            attn_impl="ref")
+        # constrain the logits' seq axis over tp — exercises the SP respec
+        return constrain(logits, mesh, activation_spec(sp=True))
+
+    got = f(sharded, tok)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_mesh_auto_fsdp():
     cfg = MeshConfig(dp=2, fsdp=-1, tp=2).resolve(8)
     assert cfg.fsdp == 2
