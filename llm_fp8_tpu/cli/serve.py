@@ -32,6 +32,11 @@ def build_parser():
                    choices=["fp8", "bf16"])
     p.add_argument("--max_slots", type=int, default=8)
     p.add_argument("--max_seq_len", type=int, default=2048)
+    p.add_argument("--paged", action="store_true",
+                   help="Use the paged-KV engine (block tables + paged "
+                        "flash kernel) instead of the contiguous arena")
+    p.add_argument("--page_size", type=int, default=128)
+    p.add_argument("--num_pages", type=int, default=512)
     p.add_argument("--num_requests", type=int, default=16)
     p.add_argument("--prompt_len", type=int, default=128)
     p.add_argument("--max_new_tokens", type=int, default=64)
@@ -57,13 +62,27 @@ def main(argv=None):
     if args.precision == "fp8":
         params = quantize_params(params, recipe_set_by_name(args.fp8_scenario))
 
-    eng = Engine(
-        params, cfg,
-        EngineConfig(
-            max_slots=args.max_slots, max_seq_len=args.max_seq_len,
-            kv_dtype=jnp.float8_e4m3fn if args.kv_dtype == "fp8" else jnp.bfloat16,
-        ),
-    )
+    kv_dtype = jnp.float8_e4m3fn if args.kv_dtype == "fp8" else jnp.bfloat16
+    if args.paged:
+        from llm_fp8_tpu.serving.paged_engine import PagedEngine, PagedEngineConfig
+
+        eng = PagedEngine(
+            params, cfg,
+            PagedEngineConfig(
+                max_slots=args.max_slots, num_pages=args.num_pages,
+                page_size=args.page_size,
+                max_pages_per_seq=-(-args.max_seq_len // args.page_size),
+                kv_dtype=kv_dtype,
+            ),
+        )
+    else:
+        eng = Engine(
+            params, cfg,
+            EngineConfig(
+                max_slots=args.max_slots, max_seq_len=args.max_seq_len,
+                kv_dtype=kv_dtype,
+            ),
+        )
     rng = np.random.RandomState(0)
     sp = SamplingParams(
         temperature=args.temperature, max_new_tokens=args.max_new_tokens

@@ -8,15 +8,17 @@ machinery — re-designed for TPU: pages live in HBM; the kernel DMAs each
 sequence's pages into a double-buffered VMEM scratch (overlapping the next
 page's fetch with the current page's math) and runs online softmax per page.
 
-Layout:
-  q:        [B, Hq, D]                      (one decode token per sequence)
-  k_pages:  [Hk, num_pages, D, page_size]   (fp8 e4m3 or bf16; lane-major —
-            the page axis sits on the 128-lane dimension so per-page DMA
-            slices stay tile-aligned for any head_dim, and K arrives
+Layout (pool-first, vLLM-style: ONE block table shared by all layers — each
+physical page stores every layer's K/V for its token span):
+  q:        [B, Hq, D]                  (one decode token per sequence)
+  k_pages:  [P, L, Hk, D, page_size]    (fp8 e4m3 or bf16; lane-major — the
+            page axis sits on the 128-lane dimension so per-page DMA slices
+            stay tile-aligned for any head_dim, and K arrives
             contraction-major for the q·k matmul)
-  v_pages:  [Hk, num_pages, D, page_size]
-  lengths:  [B] int32                       valid tokens per sequence
-  page_tables: [B, max_pages] int32         physical page ids
+  v_pages:  [P, L, Hk, D, page_size]
+  lengths:  [B] int32                   valid tokens per sequence
+  page_tables: [B, max_pages] int32     physical page ids
+  layer_idx: scalar int32               which layer's slab to read
 Output: [B, Hq, D].
 
 GQA is packed into sublanes: the kernel processes one (batch, kv-head) pair
@@ -42,10 +44,11 @@ def _kernel(
     # scalar prefetch
     lengths_ref,  # [B]
     tables_ref,  # [B, max_pages]
+    layer_ref,  # [1]
     # inputs
     q_ref,  # [1, 1, G8, D] VMEM (grouped q heads, padded to 8 sublanes)
-    k_pages_ref,  # [Hk, P, D, page] HBM (lane-major pages)
-    v_pages_ref,  # [Hk, P, D, page] HBM
+    k_pages_ref,  # [P, L, Hk, D, page] HBM (lane-major pages)
+    v_pages_ref,  # [P, L, Hk, D, page] HBM
     # output
     o_ref,  # [1, 1, G8, D]
     # scratch
@@ -61,23 +64,24 @@ def _kernel(
     b = pl.program_id(0)
     h = pl.program_id(1)
     length = lengths_ref[b]
+    layer = layer_ref[0]
     n_pages = jax.lax.div(length + page_size - 1, page_size)
 
     def start_fetch(slot, page_idx):
         page = tables_ref[b, page_idx]
         pltpu.make_async_copy(
-            k_pages_ref.at[h, page], k_buf.at[slot], sems.at[slot, 0]
+            k_pages_ref.at[page, layer, h], k_buf.at[slot], sems.at[slot, 0]
         ).start()
         pltpu.make_async_copy(
-            v_pages_ref.at[h, page], v_buf.at[slot], sems.at[slot, 1]
+            v_pages_ref.at[page, layer, h], v_buf.at[slot], sems.at[slot, 1]
         ).start()
 
     def wait_fetch(slot):
         pltpu.make_async_copy(
-            k_pages_ref.at[h, 0], k_buf.at[slot], sems.at[slot, 0]
+            k_pages_ref.at[0, 0, 0], k_buf.at[slot], sems.at[slot, 0]
         ).wait()
         pltpu.make_async_copy(
-            v_pages_ref.at[h, 0], v_buf.at[slot], sems.at[slot, 1]
+            v_pages_ref.at[0, 0, 0], v_buf.at[slot], sems.at[slot, 1]
         ).wait()
 
     @pl.when(n_pages > 0)
@@ -132,10 +136,11 @@ def _kernel(
 )
 def paged_attention(
     q: jax.Array,  # [B, Hq, D]
-    k_pages: jax.Array,  # [Hk, P, D, page]
+    k_pages: jax.Array,  # [P, L, Hk, D, page]
     v_pages: jax.Array,
     lengths: jax.Array,  # [B]
     page_tables: jax.Array,  # [B, max_pages]
+    layer_idx: jax.Array | int = 0,
     *,
     scale: Optional[float] = None,
     kv_scale: float = 1.0,
@@ -144,10 +149,11 @@ def paged_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, Hq, D = q.shape
-    Hk, P, _, page_size = k_pages.shape
+    P, L, Hk, _, page_size = k_pages.shape
     groups = Hq // Hk
     max_pages = page_tables.shape[1]
     scale = scale if scale is not None else D ** -0.5
+    layer_idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     # Pack grouped q heads into sublanes, padded to the f32 min tile (8).
     G8 = max(8, groups)
@@ -166,7 +172,7 @@ def paged_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B, Hk),
             in_specs=[
                 pl.BlockSpec(
@@ -189,6 +195,6 @@ def paged_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, page_tables, qg, k_pages, v_pages)
+    )(lengths, page_tables, layer_idx, qg, k_pages, v_pages)
 
     return out[:, :, :groups].reshape(B, Hq, D)

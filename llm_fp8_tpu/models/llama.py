@@ -357,6 +357,7 @@ def forward(
     attn_impl: str = "auto",
     unroll: int = 1,
     compute_dtype=jnp.bfloat16,
+    return_kv: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Forward pass: ``tokens [B, S] -> (logits [B, S, V], updated cache)``.
 
@@ -365,6 +366,10 @@ def forward(
       * prefill: pass a fresh ``cache``; K/V written at ``start_pos``.
       * decode: ``S == 1`` with ``start_pos = cache.lens`` semantics
         (``kv_lens`` masks the unwritten tail of the arena).
+
+    ``return_kv`` (cache=None only): additionally return the per-layer
+    K/V ``([L, B, S, Hk, Dh], [L, B, S, Hk, Dh])`` — the paged engine's
+    prefill uses this to scatter into its page pool.
     """
     x = jnp.take(params["embed"], tokens, axis=0).astype(compute_dtype)
     B, S = tokens.shape
@@ -380,13 +385,13 @@ def forward(
     if cache is None:
 
         def body(x, lp):
-            x, _, _ = _layer_body(
+            x, kv, _ = _layer_body(
                 x, lp, cos, sin, cfg, None, start_pos, kv_lens, attn_impl
             )
-            return x, None
+            return x, (kv if return_kv else None)
 
-        x, _ = jax.lax.scan(body, x, lp_stack, unroll=unroll)
-        new_cache = None
+        x, kv_out = jax.lax.scan(body, x, lp_stack, unroll=unroll)
+        new_cache = kv_out if return_kv else None
     else:
 
         # The cache rides the scan *carry* (full [L, ...] arenas) so updates
@@ -431,6 +436,89 @@ def _lm_head(params, x, cfg):
             else jnp.dot(x, lm.astype(x.dtype), preferred_element_type=jnp.float32)
         )
     return logits.astype(jnp.float32)
+
+
+def forward_paged(
+    params: Dict[str, Any],
+    tokens: jax.Array,  # [B, 1] — one decode token per slot
+    cfg: ModelConfig,
+    k_pages: jax.Array,  # [P, L, Hk, Dh, page]
+    v_pages: jax.Array,
+    page_tables: jax.Array,  # [B, max_pages] int32
+    lens: jax.Array,  # [B] tokens already in cache (new token goes at lens)
+    *,
+    kv_scale: float = 1.0,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-token decode over the paged KV pool.
+
+    Appends each slot's new K/V into its current page (quantizing when the
+    pool is fp8) and attends via the paged flash kernel. The pools ride the
+    scan carry, so appends are in-place dynamic updates.
+
+    Returns ``(logits [B, 1, V], k_pages, v_pages)``.
+    """
+    from llm_fp8_tpu.kernels.paged_attention import paged_attention
+
+    B, S = tokens.shape
+    assert S == 1, "forward_paged is the decode step"
+    P, L, Hk, Dh, page_size = k_pages.shape
+    Hq = cfg.num_heads
+
+    x = jnp.take(params["embed"], tokens, axis=0).astype(compute_dtype)
+    positions = lens[:, None]
+    inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+
+    page_ids = jnp.take_along_axis(
+        page_tables, (lens // page_size)[:, None], axis=1
+    )[:, 0]  # [B] physical page receiving the new token
+    offsets = lens % page_size
+
+    def append(pages, new, layer_idx):
+        """Scatter new [B, Hk, Dh] into pages at (page_ids[b], layer, :, :, off)."""
+
+        def one(b, pages):
+            upd = new[b][None, None, :, :, None]  # [1,1,Hk,Dh,1]
+            return jax.lax.dynamic_update_slice(
+                pages, upd.astype(pages.dtype),
+                (page_ids[b], layer_idx, 0, 0, offsets[b]),
+            )
+
+        return jax.lax.fori_loop(0, B, one, pages)
+
+    def body(carry, lp_l):
+        x, kp, vp = carry
+        lp, l = lp_l
+        h = rmsnorm(x, lp["norm_attn"], cfg.rms_eps)
+        qkv = _dot(h, lp["wqkv"])
+        if "bqkv" in lp:
+            qkv = qkv + lp["bqkv"].astype(qkv.dtype)
+        q, kk, vv = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
+        q = apply_rope(q.reshape(B, 1, Hq, Dh), cos, sin)
+        kk = apply_rope(kk.reshape(B, 1, Hk, Dh), cos, sin)
+        vv = vv.reshape(B, 1, Hk, Dh)
+
+        kp = append(kp, (kk[:, 0].astype(jnp.float32) / kv_scale), l)
+        vp = append(vp, (vv[:, 0].astype(jnp.float32) / kv_scale), l)
+
+        attn = paged_attention(
+            q[:, 0], kp, vp, lens + 1, page_tables, l, kv_scale=kv_scale
+        )
+        x = x + _dot(attn.reshape(B, 1, Hq * Dh), lp["wo"])
+
+        h = rmsnorm(x, lp["norm_mlp"], cfg.rms_eps)
+        gate_up = _dot(h, lp["w_gate_up"])
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        h = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        x = x + _dot(h, lp["w_down"])
+        return (x, kp, vp), None
+
+    xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
+    (x, k_pages, v_pages), _ = jax.lax.scan(body, (x, k_pages, v_pages), xs)
+
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    return _lm_head(params, x, cfg), k_pages, v_pages
 
 
 def forward_fp8_train(

@@ -62,8 +62,10 @@ class TestCheckpoint:
             hf_logits = model(torch.from_numpy(tokens)).logits.numpy()
         ours, _ = forward(params, jnp.asarray(tokens, jnp.int32), CFG,
                           compute_dtype=jnp.float32, attn_impl="ref")
+        # TPU f32 matmuls run at default (bf16-pass) precision.
+        tol = 2e-2 if jax.default_backend() == "tpu" else 2e-4
         np.testing.assert_allclose(np.asarray(ours), hf_logits,
-                                   rtol=2e-4, atol=2e-4)
+                                   rtol=tol, atol=tol)
 
 
 class TestResumableData:

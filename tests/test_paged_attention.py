@@ -12,8 +12,9 @@ def build_paged(key, B, Hq, Hk, D, page, max_pages, lengths, dtype=jnp.float32):
     """Random contiguous K/V per sequence scattered into shuffled pages."""
     rng = np.random.RandomState(key)
     P = B * max_pages + 3  # physical pool larger than needed
-    k_pages = np.zeros((Hk, P, D, page), np.float32)  # lane-major pages
-    v_pages = np.zeros((Hk, P, D, page), np.float32)
+    # pool-first layout [P, L=1, Hk, D, page]
+    k_pages = np.zeros((P, 1, Hk, D, page), np.float32)
+    v_pages = np.zeros((P, 1, Hk, D, page), np.float32)
     tables = np.zeros((B, max_pages), np.int32)
     k_contig = rng.randn(B, max_pages * page, Hk, D).astype(np.float32)
     v_contig = rng.randn(B, max_pages * page, Hk, D).astype(np.float32)
@@ -25,8 +26,8 @@ def build_paged(key, B, Hq, Hk, D, page, max_pages, lengths, dtype=jnp.float32):
             pg = int(perm[nxt]); nxt += 1
             tables[b, i] = pg
             chunk = slice(i * page, (i + 1) * page)
-            k_pages[:, pg] = k_contig[b, chunk].transpose(1, 2, 0)
-            v_pages[:, pg] = v_contig[b, chunk].transpose(1, 2, 0)
+            k_pages[pg, 0] = k_contig[b, chunk].transpose(1, 2, 0)
+            v_pages[pg, 0] = v_contig[b, chunk].transpose(1, 2, 0)
     return (
         jnp.asarray(k_pages, dtype), jnp.asarray(v_pages, dtype),
         jnp.asarray(tables), jnp.asarray(k_contig), jnp.asarray(v_contig),

@@ -1,0 +1,80 @@
+"""Paged engine: generation parity with the straight-line reference decode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llm_fp8_tpu.models import get_config, init_params
+from llm_fp8_tpu.serving import SamplingParams
+from llm_fp8_tpu.serving.paged_engine import PagedEngine, PagedEngineConfig
+from tests.test_serving import reference_greedy
+
+CFG = get_config("debug-tiny")
+
+
+def make_engine(params, slots=2, kv_dtype=jnp.float32, num_pages=32):
+    return PagedEngine(
+        params, CFG,
+        PagedEngineConfig(
+            max_slots=slots, num_pages=num_pages, page_size=32,
+            max_pages_per_seq=8, kv_dtype=kv_dtype,
+            prefill_buckets=(32, 64, 128), attn_impl="ref",
+        ),
+    )
+
+
+class TestPagedEngine:
+    def test_single_request_matches_reference(self):
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        prompt = np.arange(1, 9, dtype=np.int32)
+        want = reference_greedy(params, prompt, 8)
+        eng = make_engine(params)
+        eng.add_request(prompt, SamplingParams(max_new_tokens=8))
+        done = eng.run()
+        assert done[0].output == want
+        assert eng.pages_in_use == 0  # retired request released its pages
+
+    def test_concurrent_isolated_and_page_reuse(self):
+        params = init_params(CFG, jax.random.PRNGKey(1), dtype=jnp.float32)
+        prompts = [
+            np.arange(1, 6, dtype=np.int32),
+            np.arange(40, 75, dtype=np.int32),   # crosses a page boundary
+            np.arange(200, 210, dtype=np.int32),
+        ]
+        wants = [reference_greedy(params, p, 6) for p in prompts]
+        eng = make_engine(params, slots=2)
+        for p in prompts:
+            eng.add_request(p, SamplingParams(max_new_tokens=6))
+        done = sorted(eng.run(), key=lambda r: r.request_id)
+        assert [r.output for r in done] == wants
+        assert eng.pages_in_use == 0
+
+    def test_decode_across_page_boundary(self):
+        # Prompt of 30 tokens + 8 generated crosses the 32-token page edge.
+        params = init_params(CFG, jax.random.PRNGKey(2), dtype=jnp.float32)
+        prompt = np.arange(1, 31, dtype=np.int32)
+        want = reference_greedy(params, prompt, 8)
+        eng = make_engine(params)
+        eng.add_request(prompt, SamplingParams(max_new_tokens=8))
+        assert eng.run()[0].output == want
+
+    def test_pool_exhaustion_queues(self):
+        params = init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+        # 7 usable pages (8 minus scratch); each request needs 2 pages
+        # (40 prompt + 8 new = 48 tokens / 32-page) -> only 3 fit at once.
+        eng = make_engine(params, slots=4, num_pages=8)
+        prompts = [np.arange(1 + i, 41 + i, dtype=np.int32) for i in range(4)]
+        wants = [reference_greedy(params, p, 8) for p in prompts]
+        for p in prompts:
+            eng.add_request(p, SamplingParams(max_new_tokens=8))
+        done = sorted(eng.run(), key=lambda r: r.request_id)
+        assert [r.output for r in done] == wants
+        assert eng.pages_in_use == 0
+
+    def test_fp8_pages_run(self):
+        params = init_params(CFG, jax.random.PRNGKey(4), dtype=jnp.float32)
+        eng = make_engine(params, kv_dtype=jnp.float8_e4m3fn)
+        req = eng.add_request(np.arange(1, 12, dtype=np.int32),
+                              SamplingParams(max_new_tokens=6))
+        done = eng.run()
+        assert len(done[0].output) == 6
+        assert all(0 <= t < CFG.vocab_size for t in done[0].output)
