@@ -1,0 +1,138 @@
+"""Precision-comparison experiment: the paper's FP8-vs-BF16 study as a command.
+
+Reproduces the reference's experimental protocol
+(``paper/conference_101719.tex:205-296``; driven by ``StabilityExperiment``,
+``train_fp8.py:408-654``): train the SAME model on the SAME data under each
+precision config {bf16, fp8-default(layer-wise), fp8-hybrid, fp8-mxfp8},
+then compare wall-time, final eval perplexity, and loss-variance statistics.
+
+  python -m llm_fp8_tpu.cli.compare --model_name debug-small --random_init \\
+      --synthetic_samples 200 --configs bf16 default hybrid --num_epochs 1
+
+Emits one JSON report (per-config time / Δppl vs bf16 / stability stats).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="FP8 vs BF16 comparison study")
+    p.add_argument("--model_name", type=str, required=True)
+    p.add_argument("--weights_path", type=str, default=None)
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--synthetic_samples", type=int, default=None)
+    p.add_argument("--dataset_name", type=str, default="nvidia/OpenMathInstruct-2")
+    p.add_argument("--split_name", type=str, default="train_1M")
+    p.add_argument("--num_of_samples", type=int, default=None)
+    p.add_argument("--configs", nargs="+",
+                   default=["bf16", "default", "hybrid", "mxfp8"],
+                   choices=["bf16", "default", "hybrid", "mxfp8"])
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_seq_length", type=int, default=512)
+    p.add_argument("--num_epochs", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--num_warmup_steps", type=int, default=10)
+    p.add_argument("--out", type=str, default="precision_comparison.json")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from llm_fp8_tpu.models import get_config, init_params, load_hf_checkpoint
+    from llm_fp8_tpu.training import (
+        TrainConfig, Trainer, DataConfig, DataManager, StabilityTracker,
+    )
+    from llm_fp8_tpu.training.data import synthetic_examples
+
+    cfg = get_config(args.model_name)
+
+    if args.synthetic_samples:
+        class _Tok:
+            pad_token_id = 0
+            eos_token_id = 0
+
+            def __call__(self, text, truncation=True, max_length=None):
+                return {"input_ids": [ord(c) % (cfg.vocab_size - 3) + 3
+                                      for c in text][:max_length]}
+
+        tok, examples = _Tok(), synthetic_examples(args.synthetic_samples)
+    else:
+        from transformers import AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(args.model_name)
+        examples = None
+    dm = DataManager(
+        DataConfig(dataset_name=args.dataset_name, split_name=args.split_name,
+                   max_seq_length=args.max_seq_length,
+                   num_of_samples=args.num_of_samples,
+                   batch_size=args.batch_size),
+        tok,
+    )
+    train_seqs, eval_seqs = dm.build(examples)
+    steps_per_epoch = len(train_seqs) // args.batch_size
+    total_steps = max(steps_per_epoch * args.num_epochs, 1)
+
+    # Identical initial weights for every config — the controlled variable is
+    # precision only (the reference reloads the pretrained checkpoint per run).
+    if args.random_init or args.weights_path is None:
+        base_params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    else:
+        base_params = load_hf_checkpoint(args.weights_path, cfg, dtype=jnp.float32)
+
+    results = {}
+    for recipes in args.configs:
+        trainer = Trainer(
+            cfg,
+            TrainConfig(learning_rate=args.learning_rate,
+                        warmup_steps=args.num_warmup_steps,
+                        total_steps=total_steps, recipes=recipes),
+        )
+        state = trainer.init_state(jax.tree_util.tree_map(jnp.copy, base_params))
+        tracker = StabilityTracker(precision_name=recipes)
+        t0 = time.perf_counter()
+        for epoch in range(args.num_epochs):
+            for batch in dm.batches(train_seqs, args.batch_size,
+                                    shuffle=True, seed=epoch):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                state, m = trainer.train_step(state, batch)
+                tracker.track_step(float(m["loss"]),
+                                   grad_norm=float(m["grad_norm"]))
+        jax.block_until_ready(state.params["final_norm"])
+        wall = time.perf_counter() - t0
+        ev = trainer.evaluate(
+            state.params,
+            ({k: jnp.asarray(v) for k, v in b.items()}
+             for b in dm.batches(eval_seqs, args.batch_size, shuffle=False)),
+        )
+        results[recipes] = {
+            "train_wall_s": round(wall, 2),
+            "eval_loss": ev["eval_loss"],
+            "perplexity": ev["perplexity"],
+            "stability": tracker.report(),
+        }
+        print(f"[{recipes}] wall={wall:.1f}s ppl={ev['perplexity']:.4f} "
+              f"loss_var={results[recipes]['stability']['loss_stats'].get('variance'):.5f}")
+
+    if "bf16" in results:
+        base_ppl = results["bf16"]["perplexity"]
+        for name, r in results.items():
+            r["delta_ppl_vs_bf16_pct"] = round(
+                100.0 * (r["perplexity"] - base_ppl) / base_ppl, 3
+            )
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2, default=str)
+    print(json.dumps({k: {kk: v[kk] for kk in
+                          ("train_wall_s", "perplexity",
+                           "delta_ppl_vs_bf16_pct") if kk in v}
+                      for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -358,6 +358,7 @@ def forward(
     unroll: int = 1,
     compute_dtype=jnp.bfloat16,
     return_kv: bool = False,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Forward pass: ``tokens [B, S] -> (logits [B, S, V], updated cache)``.
 
@@ -390,6 +391,10 @@ def forward(
             )
             return x, (kv if return_kv else None)
 
+        if remat:
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.nothing_saveable
+            )
         x, kv_out = jax.lax.scan(body, x, lp_stack, unroll=unroll)
         new_cache = kv_out if return_kv else None
     else:
@@ -532,6 +537,7 @@ def forward_fp8_train(
     attn_impl: str = "auto",
     unroll: int = 1,
     compute_dtype=jnp.bfloat16,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """FP8 training forward: quantize-both-operands GEMMs with delayed scales.
 
@@ -560,6 +566,15 @@ def forward_fp8_train(
             x, lp, cos, sin, cfg, None, zero, None, attn_impl, dots=dots
         )
         return x, amaxes
+
+    if remat:
+        # Per-layer rematerialization: trade recompute for activation memory
+        # (the reference's gradient-checkpointing knob,
+        # train_multi_gpu.py:421-430 — here a jax.checkpoint policy on the
+        # scan body; FP8 residuals are already saved quantized).
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.nothing_saveable
+        )
 
     xs = (params["layers"], scales, sinks)
     x, amaxes = jax.lax.scan(body, x, xs, unroll=unroll)

@@ -121,3 +121,15 @@ def kv_cache_spec() -> P:
 
 def constrain(x: jax.Array, mesh: Mesh, spec: P) -> jax.Array:
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def adapt_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop spec axes that don't divide the array (small models, big meshes)."""
+    out = []
+    for ax, dim in zip(spec, shape):
+        names = ax if isinstance(ax, tuple) else ((ax,) if ax else ())
+        size = 1
+        for n in names:
+            size *= mesh.shape[n]
+        out.append(ax if names and dim > 1 and dim % size == 0 else None)
+    return P(*out)

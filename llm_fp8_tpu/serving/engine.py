@@ -80,15 +80,35 @@ class Engine:
         engine_cfg: EngineConfig = EngineConfig(),
         *,
         eos_token_id: Optional[int] = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — params should already be
+        sharded (``parallel.shard_params``); the KV arena is placed per
+        ``parallel.kv_cache_spec`` and the decode step runs GSPMD-sharded
+        (tensor-parallel serving across the slice — the reference's
+        ``tensor_parallel`` decode argument, ``generation.py:606-740``)."""
         self.params = params
         self.cfg = model_cfg
         self.ecfg = engine_cfg
         self.eos = eos_token_id
+        self.mesh = mesh
         B, S = engine_cfg.max_slots, engine_cfg.max_seq_len
         self.cache: KVCache = init_kv_cache(
             model_cfg, B, S, dtype=engine_cfg.kv_dtype
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from llm_fp8_tpu.parallel.sharding import adapt_spec, kv_cache_spec
+
+            spec = NamedSharding(
+                mesh, adapt_spec(kv_cache_spec(), self.cache.k.shape, mesh)
+            )
+            self.cache = KVCache(
+                jax.device_put(self.cache.k, spec),
+                jax.device_put(self.cache.v, spec),
+                self.cache.lens, self.cache.k_scale, self.cache.v_scale,
+            )
         # Host-side slot bookkeeping (the scheduler's view).
         self.slot_req: List[Optional[Request]] = [None] * B
         self.slot_lens = np.zeros((B,), np.int32)

@@ -58,6 +58,7 @@ class TrainConfig:
     z_loss: float = 0.0
     label_smoothing: float = 0.0
     unroll: int = 1
+    remat: bool = False  # per-layer rematerialization (gradient checkpointing)
 
 
 @jax.tree_util.register_dataclass
@@ -155,11 +156,12 @@ class Trainer:
             logits, amaxes = forward_fp8_train(
                 params, tokens, self.model_cfg, self.recipes, scales, sinks,
                 attn_impl=self.attn_impl, unroll=self.cfg.unroll,
+                remat=self.cfg.remat,
             )
         else:
             logits, _ = forward(
                 params, tokens, self.model_cfg, attn_impl=self.attn_impl,
-                unroll=self.cfg.unroll,
+                unroll=self.cfg.unroll, remat=self.cfg.remat,
             )
             amaxes = {}
         loss, n_tokens = causal_lm_loss(

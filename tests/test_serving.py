@@ -124,6 +124,46 @@ class TestEngine:
         assert req.ttft is not None and req.ttft > 0
         assert req.finish_time > req.first_token_time
 
+    def test_tensor_sharded_engine_matches(self):
+        # TP serving: sharded params + sharded KV arena, same tokens out.
+        from llm_fp8_tpu.models import get_config as gc
+        from llm_fp8_tpu.parallel import MeshConfig, make_mesh, shard_params
+
+        small = gc("debug-small")
+        params = init_params(small, jax.random.PRNGKey(9), dtype=jnp.float32)
+        prompt = np.arange(1, 10, dtype=np.int32)
+
+        def ref_greedy(params):
+            cache = init_kv_cache(small, 1, 128, dtype=jnp.float32)
+            logits, cache = forward(
+                params, jnp.asarray(prompt)[None], small, cache=cache,
+                start_pos=0, kv_lens=jnp.asarray([len(prompt)], jnp.int32),
+                attn_impl="ref",
+            )
+            toks = [int(greedy(logits[:, len(prompt) - 1])[0])]
+            pos = len(prompt)
+            for _ in range(5):
+                logits, cache = forward(
+                    params, jnp.asarray([[toks[-1]]], jnp.int32), small,
+                    cache=cache, start_pos=pos,
+                    kv_lens=jnp.asarray([pos + 1], jnp.int32), attn_impl="ref",
+                )
+                toks.append(int(greedy(logits[:, 0])[0]))
+                pos += 1
+            return toks
+
+        want = ref_greedy(params)
+        mesh = make_mesh(MeshConfig(dp=1, fsdp=2, tp=4))
+        eng = Engine(
+            shard_params(params, mesh), small,
+            EngineConfig(max_slots=2, max_seq_len=128, kv_dtype=jnp.float32,
+                         prefill_buckets=(16, 32), attn_impl="ref"),
+            mesh=mesh,
+        )
+        req = eng.add_request(prompt, SamplingParams(max_new_tokens=6))
+        done = eng.run()
+        assert done[0].output == want
+
     def test_fp8_kv_engine_runs(self):
         params = init_params(CFG, jax.random.PRNGKey(6), dtype=jnp.float32)
         eng = make_engine(params, kv_dtype=jnp.float8_e4m3fn)
