@@ -69,9 +69,11 @@ def qdot(
     if impl is None:
         import os
 
-        impl = os.environ.get("LLM_FP8_QDOT") or (
-            "fused" if jax.default_backend() == "tpu" else "xla"
-        )
+        # Default "xla" everywhere for now: on v5e the fused kernel's
+        # VPU-software fp8 dequant measures slightly slower end-to-end than
+        # XLA's convert+dot (docs/PERF_NOTES.md); on fp8-native MXUs the
+        # fused kernel becomes the default. Override with LLM_FP8_QDOT.
+        impl = os.environ.get("LLM_FP8_QDOT", "xla")
     if impl == "fused":
         from llm_fp8_tpu.kernels.quant_matmul import qdot_fused
 

@@ -115,6 +115,53 @@ class TestFp8TrainStep:
         )
         assert int(new_state.step) == step0 + 1
 
+    def test_grad_accum_equivalent(self):
+        # K micro-steps with accum == 1 step on the concatenated batch.
+        params = init_params(CFG, jax.random.PRNGKey(7), dtype=jnp.float32)
+        big = batch_of(0, B=8, S=32)
+        halves = [
+            {k: v[:4] for k, v in big.items()},
+            {k: v[4:] for k, v in big.items()},
+        ]
+        cfg = TrainConfig(learning_rate=1e-2, warmup_steps=1, total_steps=10,
+                          schedule="constant")
+
+        t1 = Trainer(CFG, cfg, attn_impl="ref")
+        s1 = t1.init_state(jax.tree_util.tree_map(jnp.copy, params))
+        s1, _ = t1.train_step(s1, big)
+
+        import dataclasses as dc
+
+        t2 = Trainer(CFG, dc.replace(cfg, grad_accum=2), attn_impl="ref")
+        s2 = t2.init_state(jax.tree_util.tree_map(jnp.copy, params))
+        for h in halves:
+            s2, _ = t2.train_step(s2, h)
+        np.testing.assert_allclose(
+            np.asarray(s1.params["final_norm"]),
+            np.asarray(s2.params["final_norm"]),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_remat_same_loss_and_grads(self):
+        params = init_params(CFG, jax.random.PRNGKey(8), dtype=jnp.float32)
+        batch = batch_of(3)
+        import dataclasses as dc
+
+        base = TrainConfig(learning_rate=1e-3, warmup_steps=1,
+                           recipes="default")
+        a = Trainer(CFG, base, attn_impl="ref")
+        b = Trainer(CFG, dc.replace(base, remat=True), attn_impl="ref")
+        sa = a.init_state(jax.tree_util.tree_map(jnp.copy, params))
+        sb = b.init_state(jax.tree_util.tree_map(jnp.copy, params))
+        sa, ma = a.train_step(sa, batch)
+        sb, mb = b.train_step(sb, batch)
+        np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sa.params["final_norm"]),
+            np.asarray(sb.params["final_norm"]), rtol=1e-5, atol=1e-6,
+        )
+
     def test_fp8_forward_close_to_bf16(self):
         params = init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
         recipes = recipe_set_by_name("default")
