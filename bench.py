@@ -89,6 +89,23 @@ def bench_decode(params, cfg, kv_dtype, batch, attn_impl="auto"):
     return batch * ITERS / dt  # tokens/s
 
 
+def bench_8b_fp8():
+    """The BASELINE.json headline: Llama-3.1-8B FP8 decode tokens/s/chip.
+
+    bf16 8B weighs 16 GB — it does not fit one v5e chip at all; FP8 is what
+    makes single-chip 8B serving possible (the capacity win). Returns None
+    if even the fp8 model doesn't fit this (time-shared) chip.
+    """
+    try:
+        cfg = get_config("llama-3.1-8b")
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        qparams = quantize_params(params, LAYERWISE)
+        del params
+        return bench_decode(qparams, cfg, jnp.float8_e4m3fn, 8)
+    except Exception:
+        return None
+
+
 def main():
     cfg = get_config("llama-3.2-1b")
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
@@ -96,6 +113,8 @@ def main():
 
     bf16_tps = bench_decode(params, cfg, jnp.bfloat16, BATCH_BF16)
     fp8_tps = bench_decode(qparams, cfg, jnp.float8_e4m3fn, BATCH_FP8)
+    del params, qparams
+    tps_8b = bench_8b_fp8()
 
     speedup = fp8_tps / bf16_tps
     print(
@@ -110,6 +129,10 @@ def main():
                 "fp8_batch": BATCH_FP8,
                 "bf16_batch": BATCH_BF16,
                 "context": CTX,
+                "llama8b_fp8_tokens_per_s": (
+                    round(tps_8b, 1) if tps_8b else None
+                ),
+                "llama8b_bf16": "OOM (16GB weights > chip HBM)",
                 "backend": jax.default_backend(),
             }
         )

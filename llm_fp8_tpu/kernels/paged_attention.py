@@ -150,6 +150,11 @@ def paged_attention(
         interpret = jax.default_backend() != "tpu"
     B, Hq, D = q.shape
     P, L, Hk, _, page_size = k_pages.shape
+    if not interpret and page_size % 128 != 0:
+        raise ValueError(
+            f"page_size {page_size} must be a multiple of 128 on TPU "
+            "(per-page DMA slices sit on the 128-lane axis)"
+        )
     groups = Hq // Hk
     max_pages = page_tables.shape[1]
     scale = scale if scale is not None else D ** -0.5

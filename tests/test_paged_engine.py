@@ -10,14 +10,18 @@ from tests.test_serving import reference_greedy
 
 CFG = get_config("debug-tiny")
 
+# TPU requires 128-multiple pages (lane-aligned DMA); CPU interpret mode
+# tests the small-page configuration too.
+PAGE = 128 if jax.default_backend() == "tpu" else 32
+
 
 def make_engine(params, slots=2, kv_dtype=jnp.float32, num_pages=32):
     return PagedEngine(
         params, CFG,
         PagedEngineConfig(
-            max_slots=slots, num_pages=num_pages, page_size=32,
+            max_slots=slots, num_pages=num_pages, page_size=PAGE,
             max_pages_per_seq=8, kv_dtype=kv_dtype,
-            prefill_buckets=(32, 64, 128), attn_impl="ref",
+            prefill_buckets=(PAGE, 2 * PAGE, 4 * PAGE), attn_impl="ref",
         ),
     )
 
@@ -37,7 +41,7 @@ class TestPagedEngine:
         params = init_params(CFG, jax.random.PRNGKey(1), dtype=jnp.float32)
         prompts = [
             np.arange(1, 6, dtype=np.int32),
-            np.arange(40, 75, dtype=np.int32),   # crosses a page boundary
+            ((np.arange(PAGE + 3, dtype=np.int32) * 3) % 200) + 1,  # crosses a page boundary
             np.arange(200, 210, dtype=np.int32),
         ]
         wants = [reference_greedy(params, p, 6) for p in prompts]
@@ -49,9 +53,9 @@ class TestPagedEngine:
         assert eng.pages_in_use == 0
 
     def test_decode_across_page_boundary(self):
-        # Prompt of 30 tokens + 8 generated crosses the 32-token page edge.
+        # Prompt of PAGE-2 tokens + 8 generated crosses the page edge.
         params = init_params(CFG, jax.random.PRNGKey(2), dtype=jnp.float32)
-        prompt = np.arange(1, 31, dtype=np.int32)
+        prompt = (np.arange(PAGE - 2, dtype=np.int32) % 200) + 1
         want = reference_greedy(params, prompt, 8)
         eng = make_engine(params)
         eng.add_request(prompt, SamplingParams(max_new_tokens=8))
@@ -60,9 +64,10 @@ class TestPagedEngine:
     def test_pool_exhaustion_queues(self):
         params = init_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
         # 7 usable pages (8 minus scratch); each request needs 2 pages
-        # (40 prompt + 8 new = 48 tokens / 32-page) -> only 3 fit at once.
+        # (PAGE+8 tokens) -> only 3 fit at once.
         eng = make_engine(params, slots=4, num_pages=8)
-        prompts = [np.arange(1 + i, 41 + i, dtype=np.int32) for i in range(4)]
+        prompts = [((np.arange(PAGE + 2, dtype=np.int32) + i) % 200) + 1
+                   for i in range(4)]
         wants = [reference_greedy(params, p, 8) for p in prompts]
         for p in prompts:
             eng.add_request(p, SamplingParams(max_new_tokens=8))
