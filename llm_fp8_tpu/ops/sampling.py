@@ -8,8 +8,6 @@ shape-static and jit-safe so the decode step compiles once.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -12,7 +12,7 @@ long-context decode where one sequence's KV scan limits parallelism.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import AXIS_DP, AXIS_FSDP, AXIS_TP

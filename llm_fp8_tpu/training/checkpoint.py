@@ -20,7 +20,6 @@ import os
 import shutil
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 
 __all__ = ["CheckpointManager", "export_hf"]

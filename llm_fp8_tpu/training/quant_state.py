@@ -8,7 +8,7 @@ once per step from the amaxes the forward/backward pass reports.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,8 +19,7 @@ Feature parity checklist (reference cites):
 from __future__ import annotations
 
 import dataclasses
-import time
-from typing import Any, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Iterable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +27,7 @@ import optax
 
 from llm_fp8_tpu.models.config import ModelConfig
 from llm_fp8_tpu.models.llama import forward, forward_fp8_train
-from llm_fp8_tpu.quant import RecipeSet, BF16_SET, recipe_set_by_name
+from llm_fp8_tpu.quant import RecipeSet, recipe_set_by_name
 from .losses import causal_lm_loss
 from .quant_state import (
     init_train_quant_state,
