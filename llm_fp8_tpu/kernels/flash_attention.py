@@ -45,6 +45,9 @@ def _fwd_kernel(
     k_ref,  # [1, 1, D, bk] — K stored contraction-major (Mosaic bf16 matmul
     #         requires the contraction on the sublane axis of the rhs)
     v_ref,  # [1, 1, bk, D]
+    qseg_ref,  # [1, 8, bq] int32 segment ids (8 identical sublanes); dummy
+    #            zeros block when has_segments=False
+    kseg_ref,  # [1, 8, bk] int32
     # blocked outputs
     o_ref,  # [1, 1, bq, D]
     lse_ref,  # [1, 1, 8, bq] f32 log-sum-exp residual (8 sublanes to satisfy
@@ -61,6 +64,7 @@ def _fwd_kernel(
     block_q: int,
     block_k: int,
     num_k_tiles: int,
+    has_segments: bool,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -108,6 +112,11 @@ def _fwd_kernel(
             mask &= k_pos <= q_pos
         if window is not None:
             mask &= k_pos > q_pos - window
+        if has_segments:
+            # Packed varlen: attend only within the same segment id.
+            seg_q = qseg_ref[0, 0]  # [bq]
+            seg_k = kseg_ref[0, 0]  # [bk]
+            mask &= seg_q[:, None] == seg_k[None, :]
         s = jnp.where(mask, s, MASK_VALUE)
 
         m_prev = m_ref[...][:, :1]  # [bq, 1]
@@ -151,7 +160,7 @@ def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
 
 
 def _flash_fwd_call(
-    q, k, v, q_offset, kv_lens,
+    q, k, v, q_offset, kv_lens, q_segment_ids=None, kv_segment_ids=None,
     *, causal, window, softcap, scale, block_q, block_k, interpret,
 ):
     """Forward kernel launch; returns (out bshd, lse [B, Hq, Sq_p])."""
@@ -168,6 +177,28 @@ def _flash_fwd_call(
     Sq_p, Sk_p = qt.shape[2], kt.shape[3]
     num_k_tiles = Sk_p // block_k
 
+    has_segments = q_segment_ids is not None
+    if has_segments:
+        # 8-sublane layout for the (8, 128) min-tile rule; q padding -> -1,
+        # kv padding -> -2 so padded positions never match any segment.
+        qs = _pad_to(q_segment_ids.astype(jnp.int32) + 0, 1, block_q)
+        qs = jnp.where(
+            jnp.arange(Sq_p)[None, :] < q.shape[1], qs, -1
+        )
+        ks = _pad_to(kv_segment_ids.astype(jnp.int32) + 0, 1, block_k)
+        ks = jnp.where(
+            jnp.arange(Sk_p)[None, :] < k.shape[1], ks, -2
+        )
+        qs8 = jnp.broadcast_to(qs[:, None, :], (B, 8, Sq_p))
+        ks8 = jnp.broadcast_to(ks[:, None, :], (B, 8, Sk_p))
+        qseg_map = lambda b, h, qi, ki, *_: (b, 0, qi)
+        kseg_map = lambda b, h, qi, ki, *_: (b, 0, ki)
+    else:
+        qs8 = jnp.zeros((B, 8, block_q), jnp.int32)
+        ks8 = jnp.zeros((B, 8, block_k), jnp.int32)
+        qseg_map = lambda b, h, qi, ki, *_: (b, 0, 0)
+        kseg_map = lambda b, h, qi, ki, *_: (b, 0, 0)
+
     grid = (B, Hq, Sq_p // block_q, num_k_tiles)
 
     kernel = functools.partial(
@@ -179,6 +210,7 @@ def _flash_fwd_call(
         block_q=block_q,
         block_k=block_k,
         num_k_tiles=num_k_tiles,
+        has_segments=has_segments,
     )
 
     out, lse = pl.pallas_call(
@@ -199,6 +231,8 @@ def _flash_fwd_call(
                     (1, 1, block_k, D),
                     lambda b, h, qi, ki, *_: (b, h // groups, ki, 0),
                 ),
+                pl.BlockSpec((1, 8, block_q), qseg_map),
+                pl.BlockSpec((1, 8, block_k), kseg_map),
             ],
             out_specs=[
                 pl.BlockSpec(
@@ -222,7 +256,7 @@ def _flash_fwd_call(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_offset, kv_lens, qt, kt, vt)
+    )(q_offset, kv_lens, qt, kt, vt, qs8, ks8)
 
     return out[:, :, :Sq].transpose(0, 2, 1, 3), lse
 
@@ -250,15 +284,17 @@ class _FlashCfg:
         return {s: getattr(self, s) for s in self.__slots__}
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _flash(q, k, v, q_offset, kv_lens, cfg: _FlashCfg):
-    out, _ = _flash_fwd_call(q, k, v, q_offset, kv_lens, **cfg.asdict())
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _flash(q, k, v, q_offset, kv_lens, qseg, kseg, cfg: _FlashCfg):
+    out, _ = _flash_fwd_call(q, k, v, q_offset, kv_lens, qseg, kseg,
+                             **cfg.asdict())
     return out
 
 
-def _flash_fwd_rule(q, k, v, q_offset, kv_lens, cfg: _FlashCfg):
-    out, lse = _flash_fwd_call(q, k, v, q_offset, kv_lens, **cfg.asdict())
-    return out, (q, k, v, out, lse, q_offset, kv_lens)
+def _flash_fwd_rule(q, k, v, q_offset, kv_lens, qseg, kseg, cfg: _FlashCfg):
+    out, lse = _flash_fwd_call(q, k, v, q_offset, kv_lens, qseg, kseg,
+                               **cfg.asdict())
+    return out, (q, k, v, out, lse, q_offset, kv_lens, qseg, kseg)
 
 
 def _flash_bwd_rule(cfg: _FlashCfg, res, do):
@@ -270,15 +306,18 @@ def _flash_bwd_rule(cfg: _FlashCfg, res, do):
         raise NotImplementedError(
             "softcap backward not implemented (inference-only feature)"
         )
-    q, k, v, out, lse, q_offset, kv_lens = res
+    q, k, v, out, lse, q_offset, kv_lens, qseg, kseg = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse, do,
         causal=cfg.causal, window=cfg.window, scale=cfg.scale,
         q_offset=q_offset, kv_lens=kv_lens,
+        q_segment_ids=qseg, kv_segment_ids=kseg,
         block_q=cfg.block_q, block_k=cfg.block_k, interpret=cfg.interpret,
     )
     zero_int = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
-    return dq, dk, dv, zero_int(q_offset), zero_int(kv_lens)
+    return (dq, dk, dv, zero_int(q_offset), zero_int(kv_lens),
+            (zero_int(qseg) if qseg is not None else None),
+            (zero_int(kseg) if kseg is not None else None))
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -295,6 +334,8 @@ def flash_attention(
     scale: Optional[float] = None,
     q_offset: int | jax.Array = 0,
     kv_lens: Optional[jax.Array] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: Optional[bool] = None,
@@ -302,6 +343,11 @@ def flash_attention(
     """Flash attention over bshd tensors; semantics of
     :func:`llm_fp8_tpu.ops.attention.attention_ref`. Differentiable: the
     backward runs the Pallas dKV/dQ kernels (flash_attention_bwd).
+
+    ``segment_ids`` ([B, Sq] / [B, Sk] int32): packed-varlen masking — the
+    TPU-idiomatic form of the reference's ``cu_seqlens`` varlen API
+    (``flash_attn_varlen_func``); positions attend only within their own
+    segment.
 
     ``interpret=None`` auto-selects Pallas interpreter mode off-TPU so the
     same code path is testable on the CPU backend.
@@ -318,4 +364,5 @@ def flash_attention(
         scale=scale if scale is not None else D ** -0.5,
         block_q=block_q, block_k=block_k, interpret=interpret,
     )
-    return _flash(q, k, v, q_offset, kv_lens, cfg)
+    return _flash(q, k, v, q_offset, kv_lens, q_segment_ids, kv_segment_ids,
+                  cfg)

@@ -30,7 +30,7 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _recompute_p_and_ds(
     q, kT, vT, do, lse, di, *, scale, causal, window,
-    q_off, kv_len, qi, ki, block_q, block_k,
+    q_off, kv_len, qi, ki, block_q, block_k, seg_q=None, seg_k=None,
 ):
     """Shared tile math: p (softmax weights) and ds (score grads), f32."""
     s = jax.lax.dot(q, kT, preferred_element_type=jnp.float32) * scale
@@ -46,6 +46,8 @@ def _recompute_p_and_ds(
         mask &= k_pos <= q_pos
     if window is not None:
         mask &= k_pos > q_pos - window
+    if seg_q is not None:
+        mask &= seg_q[:, None] == seg_k[None, :]
     # p from the saved LSE: exp(s - lse). Fully-masked rows have lse=-inf;
     # guard the exp so they produce 0, not NaN.
     lse_col = lse[:, None]
@@ -61,9 +63,10 @@ def _recompute_p_and_ds(
 def _dkv_kernel(
     q_offset_ref, kv_lens_ref,
     q_ref, kT_ref, v_ref, vT_ref, do_ref, lse_ref, di_ref,
+    qseg_ref, kseg_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
-    *, scale, causal, window, block_q, block_k, num_q_tiles,
+    *, scale, causal, window, block_q, block_k, num_q_tiles, has_segments,
 ):
     b, ki, qi = pl.program_id(0), pl.program_id(2), pl.program_id(3)
     q_off = q_offset_ref[b]
@@ -89,6 +92,8 @@ def _dkv_kernel(
             q, kT_ref[0, 0], vT_ref[0, 0], do, lse_ref[0, 0, 0], di_ref[0, 0, 0],
             scale=scale, causal=causal, window=window, q_off=q_off,
             kv_len=kv_len, qi=qi, ki=ki, block_q=block_q, block_k=block_k,
+            seg_q=qseg_ref[0, 0] if has_segments else None,
+            seg_k=kseg_ref[0, 0] if has_segments else None,
         )
         dtype = q.dtype
         dv_acc[...] += jax.lax.dot(
@@ -107,9 +112,10 @@ def _dkv_kernel(
 def _dq_kernel(
     q_offset_ref, kv_lens_ref,
     q_ref, kT_ref, k_ref, vT_ref, do_ref, lse_ref, di_ref,
+    qseg_ref, kseg_ref,
     dq_ref,
     dq_acc,
-    *, scale, causal, window, block_q, block_k, num_k_tiles,
+    *, scale, causal, window, block_q, block_k, num_k_tiles, has_segments,
 ):
     b, qi, ki = pl.program_id(0), pl.program_id(2), pl.program_id(3)
     q_off = q_offset_ref[b]
@@ -137,6 +143,8 @@ def _dq_kernel(
             di_ref[0, 0, 0],
             scale=scale, causal=causal, window=window, q_off=q_off,
             kv_len=kv_len, qi=qi, ki=ki, block_q=block_q, block_k=block_k,
+            seg_q=qseg_ref[0, 0] if has_segments else None,
+            seg_k=kseg_ref[0, 0] if has_segments else None,
         )
         dq_acc[...] += jax.lax.dot(
             ds.astype(q.dtype), k_ref[0, 0], preferred_element_type=jnp.float32
@@ -158,6 +166,8 @@ def flash_attention_bwd(
     block_q: int,
     block_k: int,
     interpret: bool,
+    q_segment_ids=None,  # [B, Sq] int32 (packed varlen) or None
+    kv_segment_ids=None,
 ):
     """dq, dk, dv for bshd flash attention.
 
@@ -186,6 +196,33 @@ def flash_attention_bwd(
     Sq_p, Sk_p = qt.shape[2], kt.shape[2]
     nq, nk = Sq_p // block_q, Sk_p // block_k
 
+    has_segments = q_segment_ids is not None
+    B_ = B
+    if has_segments:
+        qs = pad(q_segment_ids.astype(jnp.int32), 1, block_q)
+        qs = jnp.where(jnp.arange(Sq_p)[None, :] < Sq, qs, -1)
+        ks = pad(kv_segment_ids.astype(jnp.int32), 1, block_k)
+        ks = jnp.where(jnp.arange(Sk_p)[None, :] < Sk, ks, -2)
+        qs8 = jnp.broadcast_to(qs[:, None, :], (B_, 8, Sq_p))
+        ks8 = jnp.broadcast_to(ks[:, None, :], (B_, 8, Sk_p))
+        qseg_spec_kv = pl.BlockSpec((1, 8, block_q),
+                                    lambda b, h, ki, qi, *_: (b, 0, qi))
+        kseg_spec_kv = pl.BlockSpec((1, 8, block_k),
+                                    lambda b, h, ki, qi, *_: (b, 0, ki))
+        qseg_spec_q = pl.BlockSpec((1, 8, block_q),
+                                   lambda b, h, qi, ki, *_: (b, 0, qi))
+        kseg_spec_q = pl.BlockSpec((1, 8, block_k),
+                                   lambda b, h, qi, ki, *_: (b, 0, ki))
+    else:
+        qs8 = jnp.zeros((B_, 8, block_q), jnp.int32)
+        ks8 = jnp.zeros((B_, 8, block_k), jnp.int32)
+        qseg_spec_kv = pl.BlockSpec((1, 8, block_q),
+                                    lambda b, h, ki, qi, *_: (b, 0, 0))
+        kseg_spec_kv = pl.BlockSpec((1, 8, block_k),
+                                    lambda b, h, ki, qi, *_: (b, 0, 0))
+        qseg_spec_q = qseg_spec_kv
+        kseg_spec_q = kseg_spec_kv
+
     # di = rowsum(o * do) — the reference's preprocess kernel; XLA fuses this.
     di = jnp.sum(
         ot.astype(jnp.float32) * dot_.astype(jnp.float32), axis=-1
@@ -193,7 +230,8 @@ def flash_attention_bwd(
     di = jnp.broadcast_to(di[:, :, None, :], lse.shape)
 
     common = dict(scale=scale, causal=causal, window=window,
-                  block_q=block_q, block_k=block_k)
+                  block_q=block_q, block_k=block_k,
+                  has_segments=has_segments)
 
     # ---- dK/dV (per q-head, grid: b, h, ki, qi-inner) ----
     dkv = pl.pallas_call(
@@ -216,6 +254,8 @@ def flash_attention_bwd(
                              lambda b, h, ki, qi, *_: (b, h, 0, qi)),  # lse
                 pl.BlockSpec((1, 1, 8, block_q),
                              lambda b, h, ki, qi, *_: (b, h, 0, qi)),  # di
+                qseg_spec_kv,
+                kseg_spec_kv,
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_k, D),
@@ -236,7 +276,7 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_offset, kv_lens, qt, kT, vt, vT, dot_, lse, di)
+    )(q_offset, kv_lens, qt, kT, vt, vT, dot_, lse, di, qs8, ks8)
     dk_per_q, dv_per_q = dkv
 
     # ---- dQ (grid: b, h, qi, ki-inner) ----
@@ -260,6 +300,8 @@ def flash_attention_bwd(
                              lambda b, h, qi, ki, *_: (b, h, 0, qi)),  # lse
                 pl.BlockSpec((1, 1, 8, block_q),
                              lambda b, h, qi, ki, *_: (b, h, 0, qi)),  # di
+                qseg_spec_q,
+                kseg_spec_q,
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, D),
                                    lambda b, h, qi, ki, *_: (b, h, qi, 0)),
@@ -270,7 +312,7 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_offset, kv_lens, qt, kT, kt, vT, dot_, lse, di)
+    )(q_offset, kv_lens, qt, kT, kt, vT, dot_, lse, di, qs8, ks8)
 
     dq_out = dq[:, :, :Sq].transpose(0, 2, 1, 3)
     # GQA: fold per-q-head dk/dv over the group.

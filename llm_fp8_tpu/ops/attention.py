@@ -29,11 +29,16 @@ def _build_mask(
     q_offset,
     kv_lens: Optional[jax.Array],
     batch: int,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
 ):
     """Boolean mask [B or 1, 1, q_len, k_len], True = attend.
 
     ``q_offset`` may be a scalar or a per-batch ``[B]`` vector (continuous
     batching: each slot decodes at its own absolute position).
+    ``segment_ids``: packed-varlen masking — positions attend only within
+    their own segment (the reference's varlen ``cu_seqlens`` semantics,
+    expressed the TPU way).
     """
     q_offset = jnp.asarray(q_offset, jnp.int32)
     if q_offset.ndim == 0:
@@ -50,6 +55,11 @@ def _build_mask(
     if kv_lens is not None:
         valid = k_pos[None] < kv_lens[:, None, None, None]
         mask = mask & valid[:, 0][:, None]
+    if q_segment_ids is not None:
+        same = (
+            q_segment_ids[:, None, :, None] == kv_segment_ids[:, None, None, :]
+        )
+        mask = mask & same
     return mask
 
 
@@ -64,6 +74,8 @@ def attention_ref(
     scale: Optional[float] = None,
     q_offset: int | jax.Array = 0,
     kv_lens: Optional[jax.Array] = None,
+    q_segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Golden attention in fp32.
 
@@ -89,7 +101,8 @@ def attention_ref(
     logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
     if softcap is not None:
         logits = softcap * jnp.tanh(logits / softcap)
-    mask = _build_mask(Sq, Sk, causal, window, q_offset, kv_lens, B)
+    mask = _build_mask(Sq, Sk, causal, window, q_offset, kv_lens, B,
+                       q_segment_ids, kv_segment_ids)
     logits = jnp.where(mask, logits, -jnp.inf)
     # Fully-masked rows (can happen with kv_lens=0) must produce zeros, not NaN.
     probs = jax.nn.softmax(logits, axis=-1)

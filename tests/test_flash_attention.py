@@ -159,6 +159,44 @@ class TestFlashForward:
             )
             assert rel < 2e-2, rel
 
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_segment_ids_packed_varlen(self, causal):
+        # Three packed sequences per row; attention must not cross segments.
+        q, k, v = make_qkv(30, 2, 256, 256, 4, 2, 64)
+        seg = np.zeros((2, 256), np.int32)
+        seg[0, :100] = 1; seg[0, 100:200] = 2; seg[0, 200:] = 3
+        seg[1, :50] = 1; seg[1, 50:] = 2
+        seg = jnp.asarray(seg)
+        got = flash_attention(q, k, v, causal=causal,
+                              q_segment_ids=seg, kv_segment_ids=seg)
+        want = attention_ref(q, k, v, causal=causal,
+                             q_segment_ids=seg, kv_segment_ids=seg)
+        assert_close(got, want, q.dtype)
+
+    def test_segment_ids_backward(self):
+        q, k, v = make_qkv(31, 1, 256, 256, 2, 2, 64)
+        seg = jnp.asarray(
+            np.repeat(np.arange(4, dtype=np.int32), 64)[None, :]
+        )
+
+        def lf(q, k, v):
+            return jnp.sum(flash_attention(
+                q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg
+            ) ** 2)
+
+        def lr(q, k, v):
+            return jnp.sum(attention_ref(
+                q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg
+            ) ** 2)
+
+        gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            rel = np.linalg.norm(np.asarray(a) - np.asarray(b)) / max(
+                np.linalg.norm(np.asarray(b)), 1e-9
+            )
+            assert rel < 2e-2, rel
+
     def test_determinism_by_repetition(self):
         # The reference's race-condition test: repeated runs bit-identical.
         q, k, v = make_qkv(8, 2, 256, 256, 4, 2, 64, jnp.bfloat16)
