@@ -235,7 +235,7 @@ class Engine:
                     finished.append(self._retire(slot))
         return finished
 
-    def run(self, requests: List[Request] = ()) -> List[Request]:
+    def run(self) -> List[Request]:
         """Drain: step until every queued request completes."""
         done: List[Request] = []
         while self.has_work():
