@@ -149,14 +149,7 @@ def _fwd_kernel(
         lse_ref[0, 0] = jnp.broadcast_to(lse[:, 0][None, :], lse_ref.shape[2:])
 
 
-def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
-    n = x.shape[axis]
-    rem = (-n) % multiple
-    if rem == 0:
-        return x
-    pads = [(0, 0)] * x.ndim
-    pads[axis] = (0, rem)
-    return jnp.pad(x, pads)
+from ._common import pad_to_multiple as _pad_to  # noqa: E402
 
 
 def _flash_fwd_call(

@@ -178,13 +178,7 @@ def flash_attention_bwd(
     _, Sk, Hk, _ = k.shape
     groups = Hq // Hk
 
-    def pad(x, axis, m):
-        rem = (-x.shape[axis]) % m
-        if rem == 0:
-            return x
-        pads = [(0, 0)] * x.ndim
-        pads[axis] = (0, rem)
-        return jnp.pad(x, pads)
+    from ._common import pad_to_multiple as pad
 
     qt = pad(q.transpose(0, 2, 1, 3), 2, block_q)  # [B,Hq,Sqp,D]
     dot_ = pad(do.transpose(0, 2, 1, 3), 2, block_q)

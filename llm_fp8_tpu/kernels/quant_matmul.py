@@ -98,13 +98,7 @@ def _kernel_mx(x_ref, w_ref, scale_ref, o_ref, acc_ref, *, n_k_tiles: int):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _pad_axis(x, axis, mult):
-    rem = (-x.shape[axis]) % mult
-    if rem == 0:
-        return x
-    pads = [(0, 0)] * x.ndim
-    pads[axis] = (0, rem)
-    return jnp.pad(x, pads)
+from ._common import pad_to_multiple as _pad_axis  # noqa: E402
 
 
 @functools.partial(

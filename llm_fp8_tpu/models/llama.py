@@ -289,8 +289,16 @@ def _layer_body(
         # Append new K/V at each sequence's own start_pos (continuous
         # batching: per-slot positions), quantizing if the cache is FP8.
         if k_cache.dtype != kk.dtype:
-            k_store = (kk.astype(jnp.float32) / k_scale).astype(k_cache.dtype)
-            v_store = (vv.astype(jnp.float32) / v_scale).astype(v_cache.dtype)
+            # Clip into the fp8 range before the cast: f32→e4m3fn conversion
+            # of an overflowing value yields NaN (e4m3fn has no inf), and one
+            # NaN in the cache poisons every later step of that sequence.
+            fmax = float(jnp.finfo(k_cache.dtype).max)
+            k_store = jnp.clip(
+                kk.astype(jnp.float32) / k_scale, -fmax, fmax
+            ).astype(k_cache.dtype)
+            v_store = jnp.clip(
+                vv.astype(jnp.float32) / v_scale, -fmax, fmax
+            ).astype(v_cache.dtype)
         else:
             k_store, v_store = kk, vv
         if layer_idx is None:
@@ -504,8 +512,15 @@ def forward_paged(
         kk = apply_rope(kk.reshape(B, 1, Hk, Dh), cos, sin)
         vv = vv.reshape(B, 1, Hk, Dh)
 
-        kp = append(kp, (kk[:, 0].astype(jnp.float32) / kv_scale), l)
-        vp = append(vp, (vv[:, 0].astype(jnp.float32) / kv_scale), l)
+        fmax = float(jnp.finfo(kp.dtype).max) if kp.dtype != kk.dtype else None
+        k_new = kk[:, 0].astype(jnp.float32) / kv_scale
+        v_new = vv[:, 0].astype(jnp.float32) / kv_scale
+        if fmax is not None:
+            # Saturate before the fp8 cast (overflow would become NaN).
+            k_new = jnp.clip(k_new, -fmax, fmax)
+            v_new = jnp.clip(v_new, -fmax, fmax)
+        kp = append(kp, k_new, l)
+        vp = append(vp, v_new, l)
 
         attn = paged_attention(
             q[:, 0], kp, vp, lens + 1, page_tables, l, kv_scale=kv_scale

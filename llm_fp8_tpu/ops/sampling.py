@@ -60,9 +60,13 @@ def sample(
         return greedy(logits)
     logits = logits.astype(jnp.float32)
     if top_k > 0:
-        logits = _top_k_mask(logits, top_k)
+        # Reference clamps top_k to the vocab size (generation.py:56).
+        logits = _top_k_mask(logits, min(top_k, logits.shape[-1]))
+    if temperature != 1.0:
+        # Reference order: temperature scales the surviving top-k logits
+        # BEFORE the nucleus filter (generation.py:88-93), so the top-p kept
+        # set is computed on the tempered distribution.
+        logits = logits / temperature
     if 0.0 < top_p < 1.0:
         logits = _top_p_mask(logits, top_p)
-    if temperature != 1.0:
-        logits = logits / temperature
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)

@@ -149,17 +149,21 @@ class Engine:
         last = logits[0, true_len - 1]
         return last, new_cache
 
-    def _decode_impl(self, params, cache, last_tokens, lens, rng):
+    def _decode_impl(self, params, cache, last_tokens, lens):
         """One decode step over every slot (the 'captured graph').
 
         ``lens`` are per-slot cache fills; each slot writes its token at its
         own position and attends over its own prefix (ragged batch).
+        Returns (logits [B, V], batched greedy tokens [B], cache) — the
+        greedy argmax is computed on-device so the common greedy case costs
+        one dispatch instead of one per slot.
         """
         logits, cache = forward(
             params, last_tokens[:, None], self.cfg, cache=cache,
             start_pos=lens, kv_lens=lens + 1, attn_impl=self.ecfg.attn_impl,
         )
-        return logits[:, 0], cache
+        logits = logits[:, 0]
+        return logits, jnp.argmax(logits, -1).astype(jnp.int32), cache
 
     # ------------------------------------------------------------------
     # public API
@@ -198,7 +202,17 @@ class Engine:
         for slot in range(self.ecfg.max_slots):
             if not self.waiting or self.slot_req[slot] is not None:
                 continue
-            req = self.waiting.pop(0)
+            req = self.waiting[0]
+            # Reject requests that cannot fit the arena or any prefill bucket
+            # (instead of crashing mid-loop / silently overrunning the cache).
+            if (len(req.prompt) + req.params.max_new_tokens
+                    > self.ecfg.max_seq_len
+                    or len(req.prompt) > self.ecfg.prefill_buckets[-1]):
+                self.waiting.pop(0)
+                req.done = True
+                finished.append(req)
+                continue
+            self.waiting.pop(0)
             bucket = self._bucket_for(len(req.prompt))
             padded = np.zeros((bucket,), np.int32)
             padded[: len(req.prompt)] = req.prompt
@@ -221,17 +235,26 @@ class Engine:
         if any(r is not None for r in self.slot_req):
             lens = jnp.asarray(self.slot_lens)
             toks = jnp.asarray(self.slot_last_tok)
-            logits, self.cache = self._decode(
-                self.params, self.cache, toks, lens, self._rng
+            logits, greedy_toks, self.cache = self._decode(
+                self.params, self.cache, toks, lens
             )
+            greedy_toks = np.asarray(greedy_toks)
             for slot, req in enumerate(self.slot_req):
                 if req is None:
                     continue
-                tok = int(self._sample_one(logits[slot], req.params))
+                if req.params.temperature == 0.0:
+                    tok = int(greedy_toks[slot])  # batched argmax, no per-slot dispatch
+                else:
+                    tok = int(self._sample_one(logits[slot], req.params))
                 req.output.append(tok)
                 self.slot_lens[slot] += 1
                 self.slot_last_tok[slot] = tok
-                if self._is_stop(req, tok):
+                if self._is_stop(req, tok) or (
+                    self.slot_lens[slot] + 1 >= self.ecfg.max_seq_len
+                ):
+                    # Second clause: defensive arena-bound stop — writing at
+                    # start_pos >= max_seq_len would clamp and corrupt the
+                    # last cache row.
                     finished.append(self._retire(slot))
         return finished
 

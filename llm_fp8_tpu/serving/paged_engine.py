@@ -44,6 +44,15 @@ class PagedEngineConfig:
     prefill_buckets: tuple = (128, 256, 512, 1024)
     attn_impl: str = "auto"
 
+    def __post_init__(self):
+        for b in self.prefill_buckets:
+            if b % self.page_size != 0:
+                raise ValueError(
+                    f"prefill bucket {b} must be a multiple of page_size "
+                    f"{self.page_size} (a bucket smaller than one page would "
+                    "silently drop the prompt's K/V)"
+                )
+
 
 class PagedEngine:
     def __init__(
@@ -107,7 +116,12 @@ class PagedEngine:
             # new: [L, bucket, Hk, Dh] -> per page [L, Hk, Dh, page]
             def one(i, pools):
                 chunk = jax.lax.dynamic_slice_in_dim(new, i * page, page, 1)
-                chunk = (chunk.astype(jnp.float32) / scale).astype(pools.dtype)
+                chunk = chunk.astype(jnp.float32) / scale
+                if pools.dtype != new.dtype:
+                    # Saturate before the fp8 cast (overflow -> NaN otherwise).
+                    fmax = float(jnp.finfo(pools.dtype).max)
+                    chunk = jnp.clip(chunk, -fmax, fmax)
+                chunk = chunk.astype(pools.dtype)
                 chunk = chunk.transpose(0, 2, 3, 1)  # [L, Hk, Dh, page]
                 return jax.lax.dynamic_update_slice(
                     pools, chunk[None], (page_ids[i], 0, 0, 0, 0)
@@ -122,7 +136,8 @@ class PagedEngine:
             params, toks[:, None], self.cfg, k_pages, v_pages, tables, lens,
             kv_scale=self.ecfg.kv_scale,
         )
-        return logits[:, 0], k_pages, v_pages
+        logits = logits[:, 0]
+        return logits, jnp.argmax(logits, -1).astype(jnp.int32), k_pages, v_pages
 
     # ------------------------------------------------------------------
 
@@ -156,9 +171,13 @@ class PagedEngine:
             req = self.waiting[0]
             n = len(req.prompt)
             total = n + req.params.max_new_tokens
-            if total > self.ecfg.max_pages_per_seq * page:
+            if (total > self.ecfg.max_pages_per_seq * page
+                    or n > self.ecfg.prefill_buckets[-1]):
+                # Reject: too long for the table width / any prefill bucket
+                # (checked BEFORE popping or allocating — a late _bucket_for
+                # raise would abort the loop and leak the allocated pages).
                 self.waiting.pop(0)
-                req.done = True  # reject: too long for the table width
+                req.done = True
                 finished.append(req)
                 continue
             table = SequenceTable(self.allocator)
@@ -200,15 +219,19 @@ class PagedEngine:
             for s, t in enumerate(self.slot_tables):
                 if t is not None:
                     tables[s] = t.table(self.ecfg.max_pages_per_seq)
-            logits, self.k_pages, self.v_pages = self._decode(
+            logits, greedy_toks, self.k_pages, self.v_pages = self._decode(
                 self.params, self.k_pages, self.v_pages,
                 jnp.asarray(self.slot_last_tok), jnp.asarray(tables),
                 jnp.asarray(self.slot_lens),
             )
+            greedy_toks = np.asarray(greedy_toks)
             for slot, req in enumerate(self.slot_req):
                 if req is None:
                     continue
-                tok = int(self._sample_one(logits[slot], req.params))
+                if req.params.temperature == 0.0:
+                    tok = int(greedy_toks[slot])  # batched argmax
+                else:
+                    tok = int(self._sample_one(logits[slot], req.params))
                 req.output.append(tok)
                 self.slot_lens[slot] += 1
                 self.slot_last_tok[slot] = tok

@@ -172,3 +172,44 @@ class TestEngine:
         done = eng.run()
         assert len(done[0].output) == 6
         assert all(0 <= t < CFG.vocab_size for t in done[0].output)
+
+
+class TestEngineGuards:
+    """Regressions for review findings: arena bounds + oversized rejection."""
+
+    def test_oversized_request_rejected_not_crashed(self):
+        params = init_params(CFG, jax.random.PRNGKey(10), dtype=jnp.float32)
+        eng = Engine(
+            params, CFG,
+            EngineConfig(max_slots=2, max_seq_len=64, kv_dtype=jnp.float32,
+                         prefill_buckets=(32,), attn_impl="ref"),
+        )
+        # prompt fits a bucket but prompt+max_new overflows the arena
+        r1 = eng.add_request(np.arange(1, 31, dtype=np.int32),
+                             SamplingParams(max_new_tokens=100))
+        # prompt longer than every bucket
+        r2 = eng.add_request(np.arange(1, 60, dtype=np.int32),
+                             SamplingParams(max_new_tokens=2))
+        # a normal request must still be served
+        ok = eng.add_request(np.arange(1, 9, dtype=np.int32),
+                             SamplingParams(max_new_tokens=4))
+        done = {r.request_id: r for r in eng.run()}
+        assert done[r1.request_id].output == []
+        assert done[r2.request_id].output == []
+        assert len(done[ok.request_id].output) == 4
+
+    def test_fp8_kv_overflow_saturates_not_nan(self):
+        # K/V magnitudes beyond the e4m3 range must saturate in the cache.
+        params = init_params(CFG, jax.random.PRNGKey(11), dtype=jnp.float32)
+        # Blow up the KV projection so K values exceed 448.
+        big = dict(params)
+        big_layers = dict(params["layers"])
+        big_layers["wqkv"] = params["layers"]["wqkv"] * 1e4
+        big["layers"] = big_layers
+        cache = init_kv_cache(CFG, 1, 16, dtype=jnp.float8_e4m3fn)
+        logits, cache = forward(
+            big, jnp.arange(1, 9, dtype=jnp.int32)[None], CFG, cache=cache,
+            kv_lens=jnp.asarray([8], jnp.int32), attn_impl="ref",
+        )
+        assert np.all(np.isfinite(np.asarray(cache.k.astype(jnp.float32))))
+        assert np.all(np.isfinite(np.asarray(logits)))
