@@ -28,6 +28,7 @@ class ModelConfig:
     rope_scaling: Optional[dict] = None  # HF llama3-style dict, or None
     rms_eps: float = 1e-5
     qkv_bias: bool = False  # Qwen2.x uses biases on q/k/v projections
+    qk_norm: bool = False  # Qwen3 applies per-head RMSNorm to q and k
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 131072
 
@@ -96,6 +97,20 @@ MODEL_REGISTRY = {
         head_dim=128, rope_theta=1000000.0, rms_eps=1e-5, qkv_bias=True,
         max_position_embeddings=131072,
     ),
+    # Qwen3 (the reference's te_qwen.py imports Qwen3 classes first,
+    # te_qwen.py:24-44): per-head QK-norm, no qkv bias.
+    "Qwen/Qwen3-8B": ModelConfig(
+        name="qwen3-8b", vocab_size=151936, hidden_size=4096,
+        intermediate_size=12288, num_layers=36, num_heads=32, num_kv_heads=8,
+        head_dim=128, rope_theta=1000000.0, rms_eps=1e-6, qk_norm=True,
+        max_position_embeddings=40960,
+    ),
+    "debug-qwen3": ModelConfig(
+        name="debug-qwen3", vocab_size=512, hidden_size=128,
+        intermediate_size=256, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=32, rope_theta=1000000.0, rms_eps=1e-6, qk_norm=True,
+        max_position_embeddings=2048,
+    ),
     # Small debug configs (the reference's debug presets train 100 samples on
     # tiny batches, run_multigpu.sh:104-126; we go further: tiny *models*).
     "debug-tiny": ModelConfig(
@@ -118,6 +133,7 @@ MODEL_REGISTRY.update({
     "llama-3.1-8b": MODEL_REGISTRY["meta-llama/Llama-3.1-8B"],
     "qwen2.5-1.5b": MODEL_REGISTRY["Qwen/Qwen2.5-1.5B"],
     "qwen2.5-14b": MODEL_REGISTRY["Qwen/Qwen2.5-14B"],
+    "qwen3-8b": MODEL_REGISTRY["Qwen/Qwen3-8B"],
 })
 
 SUPPORTED_MODELS = sorted({c.name for c in MODEL_REGISTRY.values()})

@@ -89,6 +89,7 @@ def pack_hf_state_dict(
 
     L = cfg.num_layers
     wqkv, bqkv, wo, w_gate_up, w_down, n_attn, n_mlp = [], [], [], [], [], [], []
+    qn, kn = [], []
     for i in range(L):
         p = f"model.layers.{i}."
         q = linear(p + "self_attn.q_proj.weight")
@@ -104,6 +105,9 @@ def pack_hf_state_dict(
                     ]
                 )
             )
+        if cfg.qk_norm:
+            qn.append(jnp.asarray(get(p + "self_attn.q_norm.weight")).astype(dtype))
+            kn.append(jnp.asarray(get(p + "self_attn.k_norm.weight")).astype(dtype))
         wo.append(linear(p + "self_attn.o_proj.weight"))
         gate = linear(p + "mlp.gate_proj.weight")
         up = linear(p + "mlp.up_proj.weight")
@@ -124,6 +128,9 @@ def pack_hf_state_dict(
     }
     if cfg.qkv_bias:
         layers["bqkv"] = jnp.stack(bqkv)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.stack(qn)
+        layers["k_norm"] = jnp.stack(kn)
 
     params: Dict[str, Any] = {
         "embed": jnp.asarray(get("model.embed_tokens.weight")).astype(dtype),
@@ -165,6 +172,9 @@ def export_hf_state_dict(
             put(p + "self_attn.q_proj.bias", b[:qd])
             put(p + "self_attn.k_proj.bias", b[qd : qd + kvd])
             put(p + "self_attn.v_proj.bias", b[qd + kvd :])
+        if "q_norm" in lp:
+            put(p + "self_attn.q_norm.weight", lp["q_norm"][i])
+            put(p + "self_attn.k_norm.weight", lp["k_norm"][i])
         put(p + "self_attn.o_proj.weight", lp["wo"][i].T)
         gu = lp["w_gate_up"][i]
         I = cfg.intermediate_size

@@ -76,6 +76,9 @@ def init_params(
     }
     if cfg.qkv_bias:
         layers["bqkv"] = jnp.zeros((L, cfg.qkv_dim), dtype)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((L, cfg.head_dim), dtype)
     params = {
         "embed": w(next(k), (V, D)),
         "layers": layers,
@@ -277,6 +280,10 @@ def _layer_body(
     q = q.reshape(B, S, Hq, Dh)
     kk = kk.reshape(B, S, Hk, Dh)
     vv = vv.reshape(B, S, Hk, Dh)
+    if "q_norm" in lp:
+        # Qwen3 per-head QK-norm (before RoPE, matching HF Qwen3Attention).
+        q = rmsnorm(q, lp["q_norm"], cfg.rms_eps)
+        kk = rmsnorm(kk, lp["k_norm"], cfg.rms_eps)
     q = apply_rope(q, cos, sin)
     kk = apply_rope(kk, cos, sin)
 
@@ -508,8 +515,13 @@ def forward_paged(
         if "bqkv" in lp:
             qkv = qkv + lp["bqkv"].astype(qkv.dtype)
         q, kk, vv = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
-        q = apply_rope(q.reshape(B, 1, Hq, Dh), cos, sin)
-        kk = apply_rope(kk.reshape(B, 1, Hk, Dh), cos, sin)
+        q = q.reshape(B, 1, Hq, Dh)
+        kk = kk.reshape(B, 1, Hk, Dh)
+        if "q_norm" in lp:
+            q = rmsnorm(q, lp["q_norm"], cfg.rms_eps)
+            kk = rmsnorm(kk, lp["k_norm"], cfg.rms_eps)
+        q = apply_rope(q, cos, sin)
+        kk = apply_rope(kk, cos, sin)
         vv = vv.reshape(B, 1, Hk, Dh)
 
         fmax = float(jnp.finfo(kp.dtype).max) if kp.dtype != kk.dtype else None

@@ -53,6 +53,8 @@ _RULES: Dict[str, tuple] = {
     "w_down": (None, AXIS_TP, AXIS_FSDP),
     "norm_attn": (None, None),
     "norm_mlp": (None, None),
+    "q_norm": (None, None),
+    "k_norm": (None, None),
 }
 
 

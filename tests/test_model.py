@@ -236,3 +236,57 @@ class TestQuantizedForward:
         b, _ = forward(params, tokens, TINY, compute_dtype=jnp.float32,
                        attn_impl="ref", unroll=2)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+class TestQwen3:
+    def test_qwen3_qk_norm_logits_fp32(self):
+        # Qwen3 = Qwen2 skeleton + per-head QK-norm, no qkv bias
+        # (the reference's te_qwen.py imports Qwen3 first, te_qwen.py:24-44).
+        import torch
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+
+        cfg = get_config("debug-qwen3")
+        torch.manual_seed(3)
+        hf_cfg = Qwen3Config(
+            vocab_size=cfg.vocab_size,
+            hidden_size=cfg.hidden_size,
+            intermediate_size=cfg.intermediate_size,
+            num_hidden_layers=cfg.num_layers,
+            num_attention_heads=cfg.num_heads,
+            num_key_value_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim,
+            rope_theta=cfg.rope_theta,
+            rms_norm_eps=cfg.rms_eps,
+            max_position_embeddings=cfg.max_position_embeddings,
+            tie_word_embeddings=cfg.tie_word_embeddings,
+            attention_dropout=0.0,
+        )
+        model = Qwen3ForCausalLM(hf_cfg).eval()
+        sd = {k: jnp.asarray(v.numpy()) for k, v in model.state_dict().items()}
+        params = pack_hf_state_dict(sd, cfg, dtype=jnp.float32)
+        assert "q_norm" in params["layers"]
+        tokens = (np.arange(20, dtype=np.int32).reshape(2, 10) * 11) % cfg.vocab_size
+        want = hf_logits(model, tokens)
+        got, _ = forward(params, jnp.asarray(tokens), cfg,
+                         compute_dtype=jnp.float32, attn_impl="ref")
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+    def test_qwen3_decode_matches_full(self):
+        cfg = get_config("debug-qwen3")
+        params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+        tokens = jax.random.randint(jax.random.PRNGKey(6), (1, 10), 0,
+                                    cfg.vocab_size)
+        full, _ = forward(params, tokens, cfg, compute_dtype=jnp.float32,
+                          attn_impl="ref")
+        cache = init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+        pre, cache = forward(params, tokens[:, :8], cfg, cache=cache,
+                             kv_lens=jnp.asarray([8], jnp.int32),
+                             compute_dtype=jnp.float32, attn_impl="ref")
+        np.testing.assert_allclose(np.asarray(pre), np.asarray(full[:, :8]),
+                                   rtol=1e-4, atol=1e-4)
+        step, cache = forward(params, tokens[:, 8:9], cfg, cache=cache,
+                              start_pos=8, kv_lens=jnp.asarray([9], jnp.int32),
+                              compute_dtype=jnp.float32, attn_impl="ref")
+        np.testing.assert_allclose(np.asarray(step[:, 0]),
+                                   np.asarray(full[:, 8]),
+                                   rtol=1e-4, atol=1e-4)
