@@ -126,6 +126,10 @@ class TestEngine:
 
     def test_tensor_sharded_engine_matches(self):
         # TP serving: sharded params + sharded KV arena, same tokens out.
+        import pytest
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device mesh (CPU run); TPU env has 1 chip")
         from llm_fp8_tpu.models import get_config as gc
         from llm_fp8_tpu.parallel import MeshConfig, make_mesh, shard_params
 
