@@ -23,6 +23,9 @@ Prints ONE JSON line:
 """
 import functools
 import json
+import os
+import signal
+import sys
 import time
 
 import jax
@@ -43,7 +46,19 @@ BATCH_BF16 = 8
 BATCH_FP8 = 44
 CTX = 512  # cache fill at steady state
 CACHE_LEN = 1024
-ITERS = 256
+ITERS = 128  # enough for a stable ratio; keeps total wall time under budget
+
+# Wall-clock budget (s) for the whole script: the headline 1B JSON line is
+# printed the moment the 1B numbers exist; the optional 8B bench runs only if
+# enough budget remains (round-1 lesson: a driver timeout before the final
+# print yields NO captured evidence at all — BENCH_r01 rc=124).
+BUDGET_S = float(os.environ.get("LLM_FP8_BENCH_BUDGET_S", "900"))
+EIGHT_B_COST_S = 300.0  # conservative estimate: fake-param gen + compile + runs
+_T0 = time.monotonic()
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - _T0)
 
 
 def make_decode_loop(cfg, attn_impl, n_steps):
@@ -89,12 +104,11 @@ def bench_decode(params, cfg, kv_dtype, batch, attn_impl="auto"):
     # warmup = compile + one full loop, with a real host fetch as the barrier
     _sync(loop(params, cache, toks, lens))
     times = []
-    for _ in range(4):
+    for _ in range(3):
         t0 = time.perf_counter()
         _sync(loop(params, cache, toks, lens))
         times.append(time.perf_counter() - t0)
-    times = sorted(times[1:])  # drop the first (cold-pipeline artifacts)
-    dt = times[len(times) // 2]  # median of warm trials
+    dt = sorted(times)[1]  # median of 3 warm trials (warmup ran a full loop)
     return batch * ITERS / dt  # tokens/s
 
 
@@ -154,12 +168,17 @@ def bench_8b_fp8():
 
     bf16 8B weighs 16 GB — it does not fit one v5e chip at all; FP8 is what
     makes single-chip 8B serving possible (the capacity win). Returns None
-    if even the fp8 model doesn't fit this (time-shared) chip.
+    if even the fp8 model doesn't fit this (time-shared) chip, or if the
+    remaining wall-clock budget runs out (SIGALRM bound).
     """
-    import os
-    import sys
-
     prev = os.environ.get("LLM_FP8_QDOT")
+    alarm_s = max(1, int(_remaining()))
+
+    def _alarm(signum, frame):
+        raise TimeoutError(f"8B bench hit the {alarm_s}s budget alarm")
+
+    old_handler = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(alarm_s)
     try:
         # Fused kernel path: streams fp8 from HBM without a bf16 weight copy
         # (the XLA path can hoist loop-invariant dequantized weights out of
@@ -174,6 +193,8 @@ def bench_8b_fp8():
               file=sys.stderr)
         return None
     finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_handler)
         if prev is None:
             os.environ.pop("LLM_FP8_QDOT", None)
         else:
@@ -190,30 +211,39 @@ def main():
     # on v5e (measured 0.37x); bf16 KV keeps attention at full speed.
     fp8_tps = bench_decode(qparams, cfg, jnp.bfloat16, BATCH_FP8)
     del params, qparams
-    tps_8b = bench_8b_fp8()
 
     speedup = fp8_tps / bf16_tps
-    print(
-        json.dumps(
-            {
-                "metric": "fp8_decode_throughput_vs_bf16_equal_hbm_llama1b",
-                "value": round(speedup, 3),
-                "unit": "x",
-                "vs_baseline": round(speedup / 2.0, 3),
-                "fp8_tokens_per_s": round(fp8_tps, 1),
-                "bf16_tokens_per_s": round(bf16_tps, 1),
-                "fp8_batch": BATCH_FP8,
-                "fp8_config": "fp8 weights + bf16 KV (equal-HBM batch)",
-                "bf16_batch": BATCH_BF16,
-                "context": CTX,
-                "llama8b_fp8_tokens_per_s": (
-                    round(tps_8b, 1) if tps_8b else None
-                ),
-                "llama8b_bf16": "OOM (16GB weights > chip HBM)",
-                "backend": jax.default_backend(),
-            }
+    result = {
+        "metric": "fp8_decode_throughput_vs_bf16_equal_hbm_llama1b",
+        "value": round(speedup, 3),
+        "unit": "x",
+        "vs_baseline": round(speedup / 2.0, 3),
+        "fp8_tokens_per_s": round(fp8_tps, 1),
+        "bf16_tokens_per_s": round(bf16_tps, 1),
+        "fp8_batch": BATCH_FP8,
+        "fp8_config": "fp8 weights + bf16 KV (equal-HBM batch)",
+        "bf16_batch": BATCH_BF16,
+        "context": CTX,
+        "llama8b_bf16": "OOM (16GB weights > chip HBM)",
+        "backend": jax.default_backend(),
+    }
+    # Headline evidence FIRST: if the 8B leg dies or the driver kills us
+    # later, this line is already on stdout.
+    print(json.dumps(result), flush=True)
+
+    if _remaining() > EIGHT_B_COST_S:
+        tps_8b = bench_8b_fp8()
+        if tps_8b:
+            # Superset line: same metric/value, 8B field added (the driver
+            # parses the last JSON line; both carry the headline number).
+            result["llama8b_fp8_tokens_per_s"] = round(tps_8b, 1)
+            print(json.dumps(result), flush=True)
+    else:
+        print(
+            f"skipping 8B bench: {_remaining():.0f}s budget left "
+            f"(< {EIGHT_B_COST_S:.0f}s estimate)",
+            file=sys.stderr,
         )
-    )
 
 
 if __name__ == "__main__":

@@ -107,24 +107,30 @@ def export_hf(params: Dict[str, Any], cfg, out_dir: str, *, dequantize=True):
         {k: np.ascontiguousarray(v) for k, v in sd.items()},
         os.path.join(out_dir, "model.safetensors"),
     )
+    # Derive model_type from the architectural features so transformers
+    # reloads with the right class: qk_norm -> Qwen3, qkv_bias -> Qwen2
+    # (a Llama reload would silently drop q/k/v biases and QK-norm weights).
+    if cfg.qk_norm:
+        model_type, arch = "qwen3", "Qwen3ForCausalLM"
+    elif cfg.qkv_bias:
+        model_type, arch = "qwen2", "Qwen2ForCausalLM"
+    else:
+        model_type, arch = "llama", "LlamaForCausalLM"
+    hf_cfg = {
+        "architectures": [arch],
+        "model_type": model_type,
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_eps,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "max_position_embeddings": cfg.max_position_embeddings,
+    }
     with open(os.path.join(out_dir, "config.json"), "w") as f:
-        json.dump(
-            {
-                "architectures": ["LlamaForCausalLM"],
-                "model_type": "llama",
-                "vocab_size": cfg.vocab_size,
-                "hidden_size": cfg.hidden_size,
-                "intermediate_size": cfg.intermediate_size,
-                "num_hidden_layers": cfg.num_layers,
-                "num_attention_heads": cfg.num_heads,
-                "num_key_value_heads": cfg.num_kv_heads,
-                "head_dim": cfg.head_dim,
-                "rope_theta": cfg.rope_theta,
-                "rms_norm_eps": cfg.rms_eps,
-                "tie_word_embeddings": cfg.tie_word_embeddings,
-                "max_position_embeddings": cfg.max_position_embeddings,
-            },
-            f,
-            indent=2,
-        )
+        json.dump(hf_cfg, f, indent=2)
     return out_dir

@@ -82,12 +82,19 @@ def update_quant_state(
     ``g_amaxes[site]`` [L] are the sink gradients (backward amaxes).
     """
     new = {}
+
+    def _finite(a):
+        # A non-finite amax would make the scale inf and dequant NaN; with
+        # amax_compute='max' the poisoned history then regenerates itself.
+        # Dropping the observation (0 never wins the max) is the safe fold.
+        return jnp.where(jnp.isfinite(a), a, 0.0)
+
     for site, st in qstate.items():
         recipe = recipes.for_role(SITE_ROLE[site])
         obs = {
-            "x": amaxes[site].x,
-            "w": amaxes[site].w,
-            "g": g_amaxes[site],
+            "x": _finite(amaxes[site].x),
+            "w": _finite(amaxes[site].w),
+            "g": _finite(g_amaxes[site]),
         }
         fmts = {"x": recipe.fmt_fwd, "w": recipe.fmt_fwd, "g": recipe.fmt_bwd}
         new[site] = {

@@ -77,8 +77,21 @@ def _no_decay(path_leaf_names: str) -> bool:
 
 def make_optimizer(config: TrainConfig, params) -> optax.GradientTransformation:
     if config.schedule == "linear":
-        lr = optax.schedules.warmup_constant_schedule(
-            0.0, config.learning_rate, config.warmup_steps
+        # Linear warmup then linear decay to 0 at total_steps — the actual
+        # trajectory of the reference's get_linear_schedule_with_warmup
+        # (train_fp8.py:206-210), not constant-after-warmup.
+        lr = optax.schedules.join_schedules(
+            [
+                optax.schedules.linear_schedule(
+                    0.0, config.learning_rate, config.warmup_steps
+                ),
+                optax.schedules.linear_schedule(
+                    config.learning_rate,
+                    0.0,
+                    max(config.total_steps - config.warmup_steps, 1),
+                ),
+            ],
+            [config.warmup_steps],
         )
     elif config.schedule == "cosine":
         lr = optax.schedules.warmup_cosine_decay_schedule(
@@ -197,8 +210,17 @@ class Trainer:
         new_opt = keep(new_opt, state.opt_state)
 
         if state.qstate:
-            new_qstate = update_quant_state(
-                state.qstate, amaxes, g_amaxes, self.recipes
+            # Gate the delayed-scaling history on the same finite flag as
+            # params: an inf/NaN amax entering the history makes the scale
+            # inf, dequant then yields NaN, and with amax_compute='max' the
+            # poisoned history regenerates itself — one overflow step would
+            # otherwise permanently kill FP8 training (the reference aborts
+            # instead, train_fp8.py:282-284).
+            new_qstate = keep(
+                update_quant_state(
+                    state.qstate, amaxes, g_amaxes, self.recipes
+                ),
+                state.qstate,
             )
         else:
             new_qstate = state.qstate
