@@ -28,8 +28,10 @@ def build_parser():
                    choices=["fp8", "bf16"])
     p.add_argument("--fp8_scenario", type=str, default="default",
                    choices=["default", "mxfp8", "hybrid"])
-    p.add_argument("--kv_dtype", type=str, default="fp8",
-                   choices=["fp8", "bf16"])
+    p.add_argument("--kv_dtype", type=str, default="auto",
+                   choices=["auto", "fp8", "bf16"],
+                   help="auto = fp8 on fp8-native backends (v6e+), bf16 on "
+                        "v5e/CPU (measured trade-off in docs/PERF_NOTES.md)")
     p.add_argument("--max_slots", type=int, default=8)
     p.add_argument("--max_seq_len", type=int, default=2048)
     p.add_argument("--paged", action="store_true",
@@ -62,7 +64,9 @@ def main(argv=None):
     if args.precision == "fp8":
         params = quantize_params(params, recipe_set_by_name(args.fp8_scenario))
 
-    kv_dtype = jnp.float8_e4m3fn if args.kv_dtype == "fp8" else jnp.bfloat16
+    from llm_fp8_tpu.utils.backend import resolve_kv_dtype
+
+    kv_dtype = resolve_kv_dtype(args.kv_dtype)
     if args.paged:
         from llm_fp8_tpu.serving.paged_engine import PagedEngine, PagedEngineConfig
 
@@ -108,7 +112,7 @@ def main(argv=None):
         if ttfts else None,
         "peak_memory_gb": round(mem["peak_gb"], 3),
         "precision": args.precision,
-        "kv_dtype": args.kv_dtype,
+        "kv_dtype": jnp.dtype(kv_dtype).name,
     }))
 
 

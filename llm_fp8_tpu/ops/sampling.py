@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sample", "greedy"]
+__all__ = ["sample", "greedy", "filtered_logits", "filtered_probs"]
 
 _NEG = -jnp.inf
 
@@ -42,6 +42,48 @@ def _top_p_mask(logits: jax.Array, p: float) -> jax.Array:
     return jnp.where(logits <= thresh, _NEG, logits)
 
 
+def filtered_logits(
+    logits: jax.Array,
+    *,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
+) -> jax.Array:
+    """Apply the reference's filter pipeline, return masked/scaled logits.
+
+    Order (generation.py:88-93): top-k filter, then temperature scaling, then
+    nucleus (top-p) over the tempered distribution. The softmax of the result
+    is the exact distribution :func:`sample` draws from — speculative
+    decoding's rejection test needs this distribution explicitly for both the
+    draft and the target model.
+    """
+    logits = logits.astype(jnp.float32)
+    if top_k > 0:
+        # Reference clamps top_k to the vocab size (generation.py:56).
+        logits = _top_k_mask(logits, min(top_k, logits.shape[-1]))
+    if temperature != 1.0:
+        logits = logits / temperature
+    if 0.0 < top_p < 1.0:
+        logits = _top_p_mask(logits, top_p)
+    return logits
+
+
+def filtered_probs(
+    logits: jax.Array,
+    *,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
+) -> jax.Array:
+    """Softmax of :func:`filtered_logits` — the effective sampling distribution."""
+    return jax.nn.softmax(
+        filtered_logits(
+            logits, temperature=temperature, top_k=top_k, top_p=top_p
+        ),
+        axis=-1,
+    )
+
+
 def sample(
     logits: jax.Array,
     key: jax.Array,
@@ -58,15 +100,10 @@ def sample(
     """
     if temperature == 0.0 or top_k == 1:
         return greedy(logits)
-    logits = logits.astype(jnp.float32)
-    if top_k > 0:
-        # Reference clamps top_k to the vocab size (generation.py:56).
-        logits = _top_k_mask(logits, min(top_k, logits.shape[-1]))
-    if temperature != 1.0:
-        # Reference order: temperature scales the surviving top-k logits
-        # BEFORE the nucleus filter (generation.py:88-93), so the top-p kept
-        # set is computed on the tempered distribution.
-        logits = logits / temperature
-    if 0.0 < top_p < 1.0:
-        logits = _top_p_mask(logits, top_p)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(
+        key,
+        filtered_logits(
+            logits, temperature=temperature, top_k=top_k, top_p=top_p
+        ),
+        axis=-1,
+    ).astype(jnp.int32)

@@ -65,7 +65,9 @@ class Request:
 class EngineConfig:
     max_slots: int = 8  # concurrent decode sequences
     max_seq_len: int = 2048  # KV arena length per slot
-    kv_dtype: Any = jnp.float8_e4m3fn  # FP8 KV cache by default
+    # "auto": fp8 KV on fp8-native backends (v6e+), bf16 on v5e/CPU where
+    # fp8 KV measures 0.37x (docs/PERF_NOTES.md). Accepts "fp8"/"bf16"/dtype.
+    kv_dtype: Any = "auto"
     prefill_buckets: tuple = (128, 256, 512, 1024, 2048)
     attn_impl: str = "auto"
 
@@ -87,8 +89,13 @@ class Engine:
         ``parallel.kv_cache_spec`` and the decode step runs GSPMD-sharded
         (tensor-parallel serving across the slice — the reference's
         ``tensor_parallel`` decode argument, ``generation.py:606-740``)."""
+        from llm_fp8_tpu.utils.backend import resolve_kv_dtype
+
         self.params = params
         self.cfg = model_cfg
+        engine_cfg = dataclasses.replace(
+            engine_cfg, kv_dtype=resolve_kv_dtype(engine_cfg.kv_dtype)
+        )
         self.ecfg = engine_cfg
         self.eos = eos_token_id
         self.mesh = mesh
@@ -96,10 +103,12 @@ class Engine:
         self.cache: KVCache = init_kv_cache(
             model_cfg, B, S, dtype=engine_cfg.kv_dtype
         )
+        self._data_sharding = None
         if mesh is not None:
-            from jax.sharding import NamedSharding
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
             from llm_fp8_tpu.parallel.sharding import adapt_spec, kv_cache_spec
+            from llm_fp8_tpu.parallel.mesh import AXIS_DP, AXIS_FSDP
 
             spec = NamedSharding(
                 mesh, adapt_spec(kv_cache_spec(), self.cache.k.shape, mesh)
@@ -108,6 +117,14 @@ class Engine:
                 jax.device_put(self.cache.k, spec),
                 jax.device_put(self.cache.v, spec),
                 self.cache.lens, self.cache.k_scale, self.cache.v_scale,
+            )
+            # Decode-step inputs shard over the data axes: each dp group owns
+            # max_slots/dp slots — dp is the DCN axis in multi-host serving,
+            # so per-step slot traffic stays host-local and only the logits
+            # gather crosses DCN (the reference's multi-process TP decode,
+            # generation.py:606-740, has every rank step every sequence).
+            self._data_sharding = NamedSharding(
+                mesh, adapt_spec(P((AXIS_DP, AXIS_FSDP)), (B,), mesh)
             )
         # Host-side slot bookkeeping (the scheduler's view).
         self.slot_req: List[Optional[Request]] = [None] * B
@@ -235,6 +252,9 @@ class Engine:
         if any(r is not None for r in self.slot_req):
             lens = jnp.asarray(self.slot_lens)
             toks = jnp.asarray(self.slot_last_tok)
+            if self._data_sharding is not None:
+                lens = jax.device_put(lens, self._data_sharding)
+                toks = jax.device_put(toks, self._data_sharding)
             logits, greedy_toks, self.cache = self._decode(
                 self.params, self.cache, toks, lens
             )

@@ -39,7 +39,8 @@ class PagedEngineConfig:
     num_pages: int = 256  # physical pool size
     page_size: int = 128
     max_pages_per_seq: int = 16  # block-table width (max_seq = this × page)
-    kv_dtype: Any = jnp.float8_e4m3fn
+    # "auto": fp8 on fp8-native backends, bf16 on v5e/CPU (docs/PERF_NOTES.md).
+    kv_dtype: Any = "auto"
     kv_scale: float = 1.0
     prefill_buckets: tuple = (128, 256, 512, 1024)
     attn_impl: str = "auto"
@@ -63,8 +64,13 @@ class PagedEngine:
         *,
         eos_token_id: Optional[int] = None,
     ):
+        from llm_fp8_tpu.utils.backend import resolve_kv_dtype
+
         self.params = params
         self.cfg = model_cfg
+        engine_cfg = dataclasses.replace(
+            engine_cfg, kv_dtype=resolve_kv_dtype(engine_cfg.kv_dtype)
+        )
         self.ecfg = engine_cfg
         self.eos = eos_token_id
         L, Hk, Dh = model_cfg.num_layers, model_cfg.num_kv_heads, model_cfg.head_dim

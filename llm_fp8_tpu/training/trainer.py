@@ -58,6 +58,10 @@ class TrainConfig:
     label_smoothing: float = 0.0
     unroll: int = 1
     remat: bool = False  # per-layer rematerialization (gradient checkpointing)
+    # Dtype for AdamW's first moment (None = fp32). bf16 halves the largest
+    # optimizer buffer — the single-chip memory knob standing in for the
+    # reference's FSDP MixedPrecision policy (train_multi_gpu.py:414-419).
+    adam_mu_dtype: str | None = None
 
 
 @jax.tree_util.register_dataclass
@@ -117,6 +121,7 @@ def make_optimizer(config: TrainConfig, params) -> optax.GradientTransformation:
             eps=config.adam_eps,
             weight_decay=config.weight_decay,
             mask=decay_mask,
+            mu_dtype=config.adam_mu_dtype,
         ),
     )
     if config.grad_accum > 1:

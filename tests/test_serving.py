@@ -168,6 +168,48 @@ class TestEngine:
         done = eng.run()
         assert done[0].output == want
 
+    def test_data_parallel_multihost_engine_matches(self):
+        # Multi-host serving layout: slots sharded over the dp (DCN) axis,
+        # weights over fsdp x tp — several concurrent requests land in slots
+        # owned by different dp groups, and every request must still decode
+        # the same tokens as the single-device engine (BASELINE 2-host
+        # target; reference multi-process decode generation.py:606-740).
+        import pytest
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device mesh (CPU run); TPU env has 1 chip")
+        from llm_fp8_tpu.models import get_config as gc
+        from llm_fp8_tpu.parallel import MeshConfig, make_mesh, shard_params
+
+        small = gc("debug-small")
+        params = init_params(small, jax.random.PRNGKey(12), dtype=jnp.float32)
+        rng = np.random.RandomState(3)
+        prompts = [rng.randint(1, small.vocab_size, n).astype(np.int32)
+                   for n in (7, 9, 11, 8)]
+
+        single = Engine(
+            params, small,
+            EngineConfig(max_slots=4, max_seq_len=128, kv_dtype=jnp.float32,
+                         prefill_buckets=(16, 32), attn_impl="ref"),
+        )
+        for p in prompts:
+            single.add_request(p, SamplingParams(max_new_tokens=6))
+        want = {r.request_id: r.output for r in single.run()}
+
+        mesh = make_mesh(MeshConfig(dp=4, fsdp=1, tp=2))
+        eng = Engine(
+            shard_params(params, mesh), small,
+            EngineConfig(max_slots=4, max_seq_len=128, kv_dtype=jnp.float32,
+                         prefill_buckets=(16, 32), attn_impl="ref"),
+            mesh=mesh,
+        )
+        for p in prompts:
+            eng.add_request(p, SamplingParams(max_new_tokens=6))
+        done = eng.run()
+        assert len(done) == len(prompts)
+        for r in done:
+            assert r.output == want[r.request_id]
+
     def test_fp8_kv_engine_runs(self):
         params = init_params(CFG, jax.random.PRNGKey(6), dtype=jnp.float32)
         eng = make_engine(params, kv_dtype=jnp.float8_e4m3fn)
