@@ -553,6 +553,107 @@ def forward_paged(
     return _lm_head(params, x, cfg), k_pages, v_pages
 
 
+def forward_decode_arena(
+    params: Dict[str, Any],
+    tokens: jax.Array,  # [B, 1] — one decode token per slot
+    cfg: ModelConfig,
+    k_arena: jax.Array,  # [L, B, Hk, Dh, S] lane-major fp8 (or bf16) arena
+    v_arena: jax.Array,
+    lens: jax.Array,  # [B] tokens already in cache (new token goes at lens)
+    *,
+    kv_scale: float = 1.0,
+    window: int | None = None,
+    softcap: float | None = None,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-token decode over the *transposed* KV arena via the fused
+    fp8 decode kernel.
+
+    This is the optimized fp8-KV serving path: the arena is stored
+    lane-major ``[L, B, Hk, Dh, S]`` and the Pallas kernel
+    (:func:`llm_fp8_tpu.kernels.decode_attention.decode_attention_arena`)
+    dequantizes K/V per-chunk in VMEM — the whole-arena XLA dequant that
+    collapsed fp8-KV to 0.37x in round 1 never happens. Rotary + quantize +
+    append of the single new token stay in XLA (a [B, Hk, Dh] scatter).
+    Matches ``flash_attn_with_kvcache`` semantics
+    (``flash_attn/modules/mha.py:502-541``).
+
+    Returns ``(logits [B, 1, V], k_arena, v_arena)``.
+    """
+    from llm_fp8_tpu.kernels.decode_attention import decode_attention_arena
+
+    B, S_tok = tokens.shape
+    assert S_tok == 1, "forward_decode_arena is the decode step"
+    L, _, Hk, Dh, S = k_arena.shape
+    Hq = cfg.num_heads
+
+    x = jnp.take(params["embed"], tokens, axis=0).astype(compute_dtype)
+    positions = lens[:, None]
+    inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+
+    fp8 = k_arena.dtype != jnp.bfloat16 and k_arena.dtype != jnp.float32
+    fmax = float(jnp.finfo(k_arena.dtype).max) if fp8 else None
+
+    def append(arena, new, layer_idx):
+        """Write new [B, Hk, Dh] at column lens[b] of arena[layer_idx, b]."""
+
+        def one(a_b, s_b, p):
+            # a_b [L, Hk, Dh, S]; s_b [Hk, Dh]; write [1, Hk, Dh, 1] at col p.
+            return jax.lax.dynamic_update_slice(
+                a_b, s_b[None, :, :, None].astype(a_b.dtype),
+                (layer_idx, 0, 0, p),
+            )
+
+        return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(arena, new, lens)
+
+    def body(carry, lp_l):
+        x, ka, va = carry
+        lp, l = lp_l
+        h = rmsnorm(x, lp["norm_attn"], cfg.rms_eps)
+        qkv = _dot(h, lp["wqkv"])
+        if "bqkv" in lp:
+            qkv = qkv + lp["bqkv"].astype(qkv.dtype)
+        q, kk, vv = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
+        q = q.reshape(B, 1, Hq, Dh)
+        kk = kk.reshape(B, 1, Hk, Dh)
+        if "q_norm" in lp:
+            q = rmsnorm(q, lp["q_norm"], cfg.rms_eps)
+            kk = rmsnorm(kk, lp["k_norm"], cfg.rms_eps)
+        q = apply_rope(q, cos, sin)
+        kk = apply_rope(kk, cos, sin)
+        vv = vv.reshape(B, 1, Hk, Dh)
+
+        k_new = kk[:, 0].astype(jnp.float32) / kv_scale
+        v_new = vv[:, 0].astype(jnp.float32) / kv_scale
+        if fmax is not None:
+            # Saturate before the fp8 cast (overflow would become NaN).
+            k_new = jnp.clip(k_new, -fmax, fmax)
+            v_new = jnp.clip(v_new, -fmax, fmax)
+        ka = append(ka, k_new, l)
+        va = append(va, v_new, l)
+
+        attn = decode_attention_arena(
+            q[:, 0], ka, va, lens + 1, l,
+            k_scale=kv_scale, v_scale=kv_scale,
+            window=window, softcap=softcap,
+        )
+        x = x + _dot(attn.reshape(B, 1, Hq * Dh), lp["wo"])
+
+        h = rmsnorm(x, lp["norm_mlp"], cfg.rms_eps)
+        gate_up = _dot(h, lp["w_gate_up"])
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        h = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        x = x + _dot(h, lp["w_down"])
+        return (x, ka, va), None
+
+    xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
+    (x, k_arena, v_arena), _ = jax.lax.scan(body, (x, k_arena, v_arena), xs)
+
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    return _lm_head(params, x, cfg), k_arena, v_arena
+
+
 def forward_fp8_train(
     params: Dict[str, Any],
     tokens: jax.Array,

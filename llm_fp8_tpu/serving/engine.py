@@ -67,7 +67,10 @@ class EngineConfig:
     max_seq_len: int = 2048  # KV arena length per slot
     # "auto": fp8 KV on fp8-native backends (v6e+), bf16 on v5e/CPU where
     # fp8 KV measures 0.37x (docs/PERF_NOTES.md). Accepts "fp8"/"bf16"/dtype.
+    # fp8 KV now runs the fused-arena decode path (lane-major arena + Pallas
+    # in-VMEM dequant) instead of the whole-arena XLA dequant.
     kv_dtype: Any = "auto"
+    kv_scale: float = 1.0  # fp8 KV descale (per-deployment calibration)
     prefill_buckets: tuple = (128, 256, 512, 1024, 2048)
     attn_impl: str = "auto"
 
@@ -100,24 +103,50 @@ class Engine:
         self.eos = eos_token_id
         self.mesh = mesh
         B, S = engine_cfg.max_slots, engine_cfg.max_seq_len
-        self.cache: KVCache = init_kv_cache(
-            model_cfg, B, S, dtype=engine_cfg.kv_dtype
+        # FP8 KV runs the fused-arena path: a lane-major [L, B, Hk, Dh, S]
+        # arena decoded by the Pallas kernel (in-VMEM dequant) — see
+        # models/llama.py::forward_decode_arena.
+        self._fp8_arena = jnp.dtype(engine_cfg.kv_dtype) in (
+            jnp.dtype(jnp.float8_e4m3fn), jnp.dtype(jnp.float8_e5m2)
         )
+        if self._fp8_arena:
+            L, Hk, Dh = (model_cfg.num_layers, model_cfg.num_kv_heads,
+                         model_cfg.head_dim)
+            self.ka = jnp.zeros((L, B, Hk, Dh, S), engine_cfg.kv_dtype)
+            self.va = jnp.zeros((L, B, Hk, Dh, S), engine_cfg.kv_dtype)
+            self.cache = None
+        else:
+            self.cache: KVCache = init_kv_cache(
+                model_cfg, B, S, dtype=engine_cfg.kv_dtype
+            )
         self._data_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from llm_fp8_tpu.parallel.sharding import adapt_spec, kv_cache_spec
-            from llm_fp8_tpu.parallel.mesh import AXIS_DP, AXIS_FSDP
+            from llm_fp8_tpu.parallel.mesh import AXIS_DP, AXIS_FSDP, AXIS_TP
 
-            spec = NamedSharding(
-                mesh, adapt_spec(kv_cache_spec(), self.cache.k.shape, mesh)
-            )
-            self.cache = KVCache(
-                jax.device_put(self.cache.k, spec),
-                jax.device_put(self.cache.v, spec),
-                self.cache.lens, self.cache.k_scale, self.cache.v_scale,
-            )
+            if self._fp8_arena:
+                # Transposed arena [L, B, Hk, Dh, S]: slots over the data
+                # axes, kv heads over tp.
+                aspec = NamedSharding(
+                    mesh,
+                    adapt_spec(
+                        P(None, (AXIS_DP, AXIS_FSDP), AXIS_TP, None, None),
+                        self.ka.shape, mesh,
+                    ),
+                )
+                self.ka = jax.device_put(self.ka, aspec)
+                self.va = jax.device_put(self.va, aspec)
+            else:
+                spec = NamedSharding(
+                    mesh, adapt_spec(kv_cache_spec(), self.cache.k.shape, mesh)
+                )
+                self.cache = KVCache(
+                    jax.device_put(self.cache.k, spec),
+                    jax.device_put(self.cache.v, spec),
+                    self.cache.lens, self.cache.k_scale, self.cache.v_scale,
+                )
             # Decode-step inputs shard over the data axes: each dp group owns
             # max_slots/dp slots — dp is the DCN axis in multi-host serving,
             # so per-step slot traffic stays host-local and only the logits
@@ -134,11 +163,20 @@ class Engine:
         self._next_id = 0
         self._rng = jax.random.PRNGKey(0)
 
-        self._prefill = jax.jit(
-            self._prefill_impl, static_argnames=("bucket",),
-            donate_argnums=(1,),
-        )
-        self._decode = jax.jit(self._decode_impl, donate_argnums=(1,))
+        if self._fp8_arena:
+            self._prefill = jax.jit(
+                self._prefill_arena_impl, static_argnames=("bucket",),
+                donate_argnums=(1, 2),
+            )
+            self._decode = jax.jit(
+                self._decode_arena_impl, donate_argnums=(1, 2)
+            )
+        else:
+            self._prefill = jax.jit(
+                self._prefill_impl, static_argnames=("bucket",),
+                donate_argnums=(1,),
+            )
+            self._decode = jax.jit(self._decode_impl, donate_argnums=(1,))
 
     # ------------------------------------------------------------------
     # jitted compute
@@ -165,6 +203,60 @@ class Engine:
         # Next-token logits come from the last *real* prompt position.
         last = logits[0, true_len - 1]
         return last, new_cache
+
+    def _prefill_arena_impl(self, params, ka, va, tokens, true_len, slot,
+                            *, bucket):
+        """Prefill into the fused fp8 arena: run the prompt, quantize the
+        produced K/V, and store it transposed (lane-major) in slot ``slot``."""
+        logits, kv = forward(
+            params, tokens[None, :], self.cfg, kv_lens=true_len[None],
+            attn_impl=self.ecfg.attn_impl, return_kv=True,
+        )
+        k, v = kv  # [L, 1, bucket, Hk, Dh]
+        fmax = float(jnp.finfo(ka.dtype).max)
+        scale = self.ecfg.kv_scale
+
+        def store(arena, new):
+            nt = new[:, 0].transpose(0, 2, 3, 1)  # [L, Hk, Dh, bucket]
+            nt = jnp.clip(nt.astype(jnp.float32) / scale, -fmax, fmax)
+            return jax.lax.dynamic_update_slice(
+                arena, nt[:, None].astype(arena.dtype), (0, slot, 0, 0, 0)
+            )
+
+        return logits[0, true_len - 1], store(ka, k), store(va, v)
+
+    def _decode_arena_impl(self, params, ka, va, last_tokens, lens):
+        """One fused-arena decode step (Pallas in-VMEM fp8 dequant)."""
+        from llm_fp8_tpu.models.llama import forward_decode_arena
+
+        logits, ka, va = forward_decode_arena(
+            params, last_tokens[:, None], self.cfg, ka, va, lens,
+            kv_scale=self.ecfg.kv_scale,
+        )
+        logits = logits[:, 0]
+        return logits, jnp.argmax(logits, -1).astype(jnp.int32), ka, va
+
+    def _run_prefill(self, padded, n, slot, bucket):
+        if self._fp8_arena:
+            last, self.ka, self.va = self._prefill(
+                self.params, self.ka, self.va, padded, n, slot, bucket=bucket
+            )
+        else:
+            last, self.cache = self._prefill(
+                self.params, self.cache, padded, n, slot, bucket=bucket
+            )
+        return last
+
+    def _run_decode(self, toks, lens):
+        if self._fp8_arena:
+            logits, gtoks, self.ka, self.va = self._decode(
+                self.params, self.ka, self.va, toks, lens
+            )
+        else:
+            logits, gtoks, self.cache = self._decode(
+                self.params, self.cache, toks, lens
+            )
+        return logits, gtoks
 
     def _decode_impl(self, params, cache, last_tokens, lens):
         """One decode step over every slot (the 'captured graph').
@@ -233,10 +325,10 @@ class Engine:
             bucket = self._bucket_for(len(req.prompt))
             padded = np.zeros((bucket,), np.int32)
             padded[: len(req.prompt)] = req.prompt
-            last_logits, self.cache = self._prefill(
-                self.params, self.cache, jnp.asarray(padded),
+            last_logits = self._run_prefill(
+                jnp.asarray(padded),
                 jnp.asarray(len(req.prompt), jnp.int32),
-                jnp.asarray(slot, jnp.int32), bucket=bucket,
+                jnp.asarray(slot, jnp.int32), bucket,
             )
             tok = int(self._sample_one(last_logits, req.params))
             req.first_token_time = time.perf_counter()
@@ -255,9 +347,7 @@ class Engine:
             if self._data_sharding is not None:
                 lens = jax.device_put(lens, self._data_sharding)
                 toks = jax.device_put(toks, self._data_sharding)
-            logits, greedy_toks, self.cache = self._decode(
-                self.params, self.cache, toks, lens
-            )
+            logits, greedy_toks = self._run_decode(toks, lens)
             greedy_toks = np.asarray(greedy_toks)
             for slot, req in enumerate(self.slot_req):
                 if req is None:

@@ -1,0 +1,180 @@
+"""Fused fp8-arena decode kernel vs the golden reference.
+
+Mirrors the reference's kvcache kernel tests
+(``flash-attention-2.8.0/tests/test_flash_attn.py:1907``
+``test_flash_attn_kvcache``): ragged lengths, GQA, window, softcap, fp8
+storage with descales — each checked against the pure-jnp golden
+(`attention_ref`) run on the dequantized cache, plus a repetition
+determinism test (their ``test_flash_attn_race_condition`` idiom).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llm_fp8_tpu.kernels.decode_attention import decode_attention_arena
+from llm_fp8_tpu.ops.attention import attention_ref
+
+
+def make_case(key, B, S, Hq, Hk, D, dtype=jnp.float8_e4m3fn, kv_scale=1.0):
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (B, Hq, D), jnp.float32)
+    k = jax.random.normal(k2, (B, S, Hk, D), jnp.float32)
+    v = jax.random.normal(k3, (B, S, Hk, D), jnp.float32)
+    # Store transposed lane-major [1, B, Hk, D, S], quantized.
+    fmax = float(jnp.finfo(dtype).max) if dtype != jnp.bfloat16 else None
+
+    def store(x):
+        xt = x.transpose(0, 2, 3, 1)[None]  # [1, B, Hk, D, S]
+        xs = xt / kv_scale
+        if fmax is not None:
+            xs = jnp.clip(xs, -fmax, fmax)
+        return xs.astype(dtype)
+
+    return q, store(k), store(v)
+
+
+def dequant(arena, kv_scale):
+    """[1, B, Hk, D, S] stored -> [B, S, Hk, D] f32 (what the kernel sees)."""
+    return arena[0].astype(jnp.float32).transpose(0, 3, 1, 2) * kv_scale
+
+
+@pytest.mark.parametrize("groups", [1, 4])
+@pytest.mark.parametrize("dtype", [jnp.float8_e4m3fn, jnp.bfloat16])
+def test_matches_reference(groups, dtype):
+    B, S, Hk, D = 3, 256, 2, 64
+    Hq = Hk * groups
+    q, ka, va = make_case(jax.random.PRNGKey(0), B, S, Hq, Hk, D, dtype)
+    lens = jnp.asarray([1, 100, 256], jnp.int32)
+
+    got = decode_attention_arena(q, ka, va, lens, 0, chunk=128)
+    want = attention_ref(
+        q[:, None], dequant(ka, 1.0), dequant(va, 1.0),
+        causal=True, q_offset=lens - 1, kv_lens=lens,
+    )[:, 0]
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_kv_scale_descale():
+    B, S, Hk, D = 2, 128, 2, 64
+    kv_scale = 0.25
+    q, ka, va = make_case(
+        jax.random.PRNGKey(1), B, S, Hk * 2, Hk, D, kv_scale=kv_scale
+    )
+    lens = jnp.asarray([64, 128], jnp.int32)
+    got = decode_attention_arena(
+        q, ka, va, lens, 0, k_scale=kv_scale, v_scale=kv_scale, chunk=128
+    )
+    want = attention_ref(
+        q[:, None], dequant(ka, kv_scale), dequant(va, kv_scale),
+        causal=True, q_offset=lens - 1, kv_lens=lens,
+    )[:, 0]
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_per_head_descales():
+    # FA3 carries per-head q/k/v descales (hopper/flash_attn_interface.py:
+    # 631-662); the kernel indexes a [Hk] descale vector per grid cell.
+    B, S, Hk, D = 2, 128, 4, 64
+    q, ka, va = make_case(jax.random.PRNGKey(2), B, S, Hk, Hk, D)
+    lens = jnp.asarray([128, 70], jnp.int32)
+    k_sc = jnp.asarray([1.0, 0.5, 2.0, 0.25], jnp.float32)
+    v_sc = jnp.asarray([0.5, 1.0, 0.125, 4.0], jnp.float32)
+
+    got = decode_attention_arena(
+        q, ka, va, lens, 0, k_scale=k_sc, v_scale=v_sc, chunk=128
+    )
+    kd = dequant(ka, 1.0) * k_sc[None, None, :, None]
+    vd = dequant(va, 1.0) * v_sc[None, None, :, None]
+    want = attention_ref(
+        q[:, None], kd, vd, causal=True, q_offset=lens - 1, kv_lens=lens
+    )[:, 0]
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_window_and_softcap():
+    B, S, Hk, D = 2, 256, 2, 64
+    q, ka, va = make_case(jax.random.PRNGKey(3), B, S, Hk * 2, Hk, D)
+    lens = jnp.asarray([256, 180], jnp.int32)
+    for window, softcap in [(64, None), (None, 30.0), (64, 30.0)]:
+        got = decode_attention_arena(
+            q, ka, va, lens, 0, window=window, softcap=softcap, chunk=128
+        )
+        want = attention_ref(
+            q[:, None], dequant(ka, 1.0), dequant(va, 1.0),
+            causal=True, q_offset=lens - 1, kv_lens=lens,
+            window=window, softcap=softcap,
+        )[:, 0]
+        np.testing.assert_allclose(
+            got, want, rtol=2e-2, atol=2e-2,
+            err_msg=f"window={window} softcap={softcap}",
+        )
+
+
+def test_layer_indexing():
+    B, S, Hk, D, L = 2, 128, 2, 64, 3
+    key = jax.random.PRNGKey(4)
+    ks = jax.random.split(key, L)
+    qs, kas, vas = zip(*[make_case(k, B, S, Hk, Hk, D) for k in ks])
+    ka = jnp.concatenate(kas, axis=0)  # [L, B, Hk, D, S]
+    va = jnp.concatenate(vas, axis=0)
+    lens = jnp.asarray([128, 90], jnp.int32)
+    for l in range(L):
+        got = decode_attention_arena(qs[l], ka, va, lens, l, chunk=128)
+        want = attention_ref(
+            qs[l][:, None], dequant(ka[l:l + 1], 1.0),
+            dequant(va[l:l + 1], 1.0),
+            causal=True, q_offset=lens - 1, kv_lens=lens,
+        )[:, 0]
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_deterministic_by_repetition():
+    B, S, Hk, D = 2, 256, 2, 64
+    q, ka, va = make_case(jax.random.PRNGKey(5), B, S, Hk * 4, Hk, D)
+    lens = jnp.asarray([256, 129], jnp.int32)
+    first = np.asarray(decode_attention_arena(q, ka, va, lens, 0, chunk=128))
+    for _ in range(3):
+        again = np.asarray(
+            decode_attention_arena(q, ka, va, lens, 0, chunk=128)
+        )
+        np.testing.assert_array_equal(first, again)
+
+
+def test_forward_decode_arena_matches_kvcache_path():
+    """Whole-model: the fused-arena decode path must produce the same logits
+    as the existing KVCache fp8 path (same quantization, same math)."""
+    from llm_fp8_tpu.models import get_config, init_params, init_kv_cache
+    from llm_fp8_tpu.models.llama import forward, forward_decode_arena
+
+    cfg = get_config("debug-tiny")
+    params = init_params(cfg, jax.random.PRNGKey(6), dtype=jnp.float32)
+    B, S = 2, 128
+    L, Hk, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    prompt = jax.random.randint(jax.random.PRNGKey(7), (B, 17), 1, 100)
+
+    # Existing path: fp8 KVCache arena [L, B, S, Hk, D].
+    cache = init_kv_cache(cfg, B, S, dtype=jnp.float8_e4m3fn)
+    logits_ref, cache = forward(
+        params, prompt, cfg, cache=cache, start_pos=0,
+        kv_lens=jnp.full((B,), 17, jnp.int32), attn_impl="ref",
+    )
+    lens = jnp.full((B,), 17, jnp.int32)
+
+    # Fused path: transpose the same quantized cache into the lane-major
+    # arena and decode one token.
+    ka = cache.k.transpose(0, 1, 3, 4, 2)  # [L, B, Hk, D, S]
+    va = cache.v.transpose(0, 1, 3, 4, 2)
+    tok = jnp.argmax(logits_ref[:, -1], -1).astype(jnp.int32)[:, None]
+
+    logits_a, ka, va = forward_decode_arena(
+        params, tok, cfg, ka, va, lens, compute_dtype=jnp.float32
+    )
+    logits_b, cache = forward(
+        params, tok, cfg, cache=cache, start_pos=lens, kv_lens=lens + 1,
+        attn_impl="ref",
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_a[:, 0]), np.asarray(logits_b[:, 0]),
+        rtol=2e-2, atol=2e-2,
+    )
