@@ -40,6 +40,7 @@ def _fwd_kernel(
     # scalar prefetch
     q_offset_ref,  # [B] absolute position of q row 0, per batch
     kv_lens_ref,  # [B] valid KV length per batch
+    seed_ref,  # [1] dropout seed (ignored when dropout_rate == 0)
     # blocked inputs
     q_ref,  # [1, 1, bq, D]
     k_ref,  # [1, 1, D, bk] — K stored contraction-major (Mosaic bf16 matmul
@@ -65,8 +66,10 @@ def _fwd_kernel(
     block_k: int,
     num_k_tiles: int,
     has_segments: bool,
+    dropout_rate: float = 0.0,
 ):
     b = pl.program_id(0)
+    h = pl.program_id(1)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -130,9 +133,24 @@ def _fwd_kernel(
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
+        if dropout_rate > 0.0:
+            # Attention dropout (flash_attn_func's dropout_p,
+            # flash_attn_interface.py:1135+): drop entries of the softmax
+            # weights, scale survivors by 1/(1-rate). The normalizer l uses
+            # the UNdropped p (dropout applies to the normalized softmax),
+            # so only the V-accumulation sees the mask. The mask comes from
+            # the stateless counter hash — backward regenerates it exactly.
+            keep = dropout_keep_mask(
+                seed_ref[0], b * pl.num_programs(1) + h, q_pos, k_pos,
+                dropout_rate,
+            )
+            p_v = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
+        else:
+            p_v = p
+
         v = v_ref[0, 0]  # [bk, D]
         pv = jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            p_v.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         # Deferred normalization: accumulate unnormalized, divide at the end.
         acc_ref[...] = acc_ref[...] * alpha + pv
@@ -149,12 +167,14 @@ def _fwd_kernel(
         lse_ref[0, 0] = jnp.broadcast_to(lse[:, 0][None, :], lse_ref.shape[2:])
 
 
-from ._common import pad_to_multiple as _pad_to  # noqa: E402
+from ._common import dropout_keep_mask, pad_to_multiple as _pad_to  # noqa: E402
 
 
 def _flash_fwd_call(
     q, k, v, q_offset, kv_lens, q_segment_ids=None, kv_segment_ids=None,
+    seed=None,
     *, causal, window, softcap, scale, block_q, block_k, interpret,
+    dropout_rate=0.0,
 ):
     """Forward kernel launch; returns (out bshd, lse [B, Hq, Sq_p])."""
     B, Sq, Hq, D = q.shape
@@ -194,6 +214,9 @@ def _flash_fwd_call(
 
     grid = (B, Hq, Sq_p // block_q, num_k_tiles)
 
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+
     kernel = functools.partial(
         _fwd_kernel,
         scale=scale,
@@ -204,12 +227,13 @@ def _flash_fwd_call(
         block_k=block_k,
         num_k_tiles=num_k_tiles,
         has_segments=has_segments,
+        dropout_rate=dropout_rate,
     )
 
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             # Index maps receive the scalar-prefetch refs as trailing args.
             in_specs=[
@@ -249,7 +273,7 @@ def _flash_fwd_call(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_offset, kv_lens, qt, kt, vt, qs8, ks8)
+    )(q_offset, kv_lens, seed, qt, kt, vt, qs8, ks8)
 
     return out[:, :, :Sq].transpose(0, 2, 1, 3), lse
 
@@ -258,7 +282,7 @@ class _FlashCfg:
     """Hashable static config for the custom_vjp nondiff argument."""
 
     __slots__ = ("causal", "window", "softcap", "scale", "block_q", "block_k",
-                 "interpret")
+                 "interpret", "dropout_rate")
 
     def __init__(self, **kw):
         for k_, v_ in kw.items():
@@ -277,17 +301,19 @@ class _FlashCfg:
         return {s: getattr(self, s) for s in self.__slots__}
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _flash(q, k, v, q_offset, kv_lens, qseg, kseg, cfg: _FlashCfg):
-    out, _ = _flash_fwd_call(q, k, v, q_offset, kv_lens, qseg, kseg,
-                             **cfg.asdict())
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _flash(q, k, v, q_offset, kv_lens, qseg, kseg, seed, cfg: _FlashCfg):
+    cfg_d = cfg.asdict()
+    out, _ = _flash_fwd_call(q, k, v, q_offset, kv_lens, qseg, kseg, seed,
+                             **cfg_d)
     return out
 
 
-def _flash_fwd_rule(q, k, v, q_offset, kv_lens, qseg, kseg, cfg: _FlashCfg):
-    out, lse = _flash_fwd_call(q, k, v, q_offset, kv_lens, qseg, kseg,
+def _flash_fwd_rule(q, k, v, q_offset, kv_lens, qseg, kseg, seed,
+                    cfg: _FlashCfg):
+    out, lse = _flash_fwd_call(q, k, v, q_offset, kv_lens, qseg, kseg, seed,
                                **cfg.asdict())
-    return out, (q, k, v, out, lse, q_offset, kv_lens, qseg, kseg)
+    return out, (q, k, v, out, lse, q_offset, kv_lens, qseg, kseg, seed)
 
 
 def _flash_bwd_rule(cfg: _FlashCfg, res, do):
@@ -295,22 +321,20 @@ def _flash_bwd_rule(cfg: _FlashCfg, res, do):
 
     from .flash_attention_bwd import flash_attention_bwd
 
-    if cfg.softcap is not None:
-        raise NotImplementedError(
-            "softcap backward not implemented (inference-only feature)"
-        )
-    q, k, v, out, lse, q_offset, kv_lens, qseg, kseg = res
+    q, k, v, out, lse, q_offset, kv_lens, qseg, kseg, seed = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse, do,
-        causal=cfg.causal, window=cfg.window, scale=cfg.scale,
-        q_offset=q_offset, kv_lens=kv_lens,
+        causal=cfg.causal, window=cfg.window, softcap=cfg.softcap,
+        scale=cfg.scale, q_offset=q_offset, kv_lens=kv_lens,
         q_segment_ids=qseg, kv_segment_ids=kseg,
+        dropout_rate=cfg.dropout_rate, seed=seed,
         block_q=cfg.block_q, block_k=cfg.block_k, interpret=cfg.interpret,
     )
     zero_int = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
     return (dq, dk, dv, zero_int(q_offset), zero_int(kv_lens),
             (zero_int(qseg) if qseg is not None else None),
-            (zero_int(kseg) if kseg is not None else None))
+            (zero_int(kseg) if kseg is not None else None),
+            zero_int(seed))
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -329,6 +353,9 @@ def flash_attention(
     kv_lens: Optional[jax.Array] = None,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: int | jax.Array = 0,
+    deterministic: bool = True,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: Optional[bool] = None,
@@ -342,9 +369,22 @@ def flash_attention(
     (``flash_attn_varlen_func``); positions attend only within their own
     segment.
 
+    ``dropout_p``/``dropout_seed``: attention dropout on the softmax weights
+    (``flash_attn_func(dropout_p=...)``); the keep mask is a stateless
+    counter hash of the absolute score coordinates, regenerated identically
+    in the backward (the reference's saved-Philox-state idiom,
+    ``csrc/flash_attn/src/dropout.h``). Vary ``dropout_seed`` per step.
+
+    ``deterministic``: accepted for API parity with
+    ``flash_attn_func(deterministic=...)`` — the TPU backward is *always*
+    deterministic (gradients accumulate in per-tile VMEM scratch over a
+    sequential grid dimension; there are no atomics to race), so both values
+    behave identically.
+
     ``interpret=None`` auto-selects Pallas interpreter mode off-TPU so the
     same code path is testable on the CPU backend.
     """
+    del deterministic  # always deterministic on TPU (no atomics), see doc
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, Sq, Hq, D = q.shape
@@ -352,10 +392,12 @@ def flash_attention(
     if kv_lens is None:
         kv_lens = jnp.full((B,), Sk, jnp.int32)
     q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+    seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
     cfg = _FlashCfg(
         causal=causal, window=window, softcap=softcap,
         scale=scale if scale is not None else D ** -0.5,
         block_q=block_q, block_k=block_k, interpret=interpret,
+        dropout_rate=float(dropout_p),
     )
     return _flash(q, k, v, q_offset, kv_lens, q_segment_ids, kv_segment_ids,
-                  cfg)
+                  seed, cfg)

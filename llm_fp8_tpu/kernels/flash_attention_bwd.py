@@ -25,15 +25,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import dropout_keep_mask
+
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _recompute_p_and_ds(
-    q, kT, vT, do, lse, di, *, scale, causal, window,
+    q, kT, vT, do, lse, di, *, scale, causal, window, softcap,
     q_off, kv_len, qi, ki, block_q, block_k, seg_q=None, seg_k=None,
+    dropout_rate=0.0, seed=0, bh=0,
 ):
-    """Shared tile math: p (softmax weights) and ds (score grads), f32."""
-    s = jax.lax.dot(q, kT, preferred_element_type=jnp.float32) * scale
+    """Shared tile math, f32. Returns ``(p_v, ds)``: ``p_v`` is the softmax
+    weight actually applied to V in the forward (dropout mask + 1/(1-r)
+    scaling included) — the dV operand; ``ds`` the score gradients."""
+    s_raw = jax.lax.dot(q, kT, preferred_element_type=jnp.float32) * scale
+    if softcap is not None:
+        # z = cap·tanh(s/cap); dz/ds = 1 - (z/cap)^2 multiplies ds below.
+        z = softcap * jnp.tanh(s_raw / softcap)
+    else:
+        z = s_raw
     q_pos = (
         q_off + qi * block_q
         + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -48,27 +58,41 @@ def _recompute_p_and_ds(
         mask &= k_pos > q_pos - window
     if seg_q is not None:
         mask &= seg_q[:, None] == seg_k[None, :]
-    # p from the saved LSE: exp(s - lse). Fully-masked rows have lse=-inf;
+    # p from the saved LSE: exp(z - lse). Fully-masked rows have lse=-inf;
     # guard the exp so they produce 0, not NaN.
     lse_col = lse[:, None]
     p = jnp.where(
-        mask & jnp.isfinite(lse_col), jnp.exp(s - jnp.where(
+        mask & jnp.isfinite(lse_col), jnp.exp(z - jnp.where(
             jnp.isfinite(lse_col), lse_col, 0.0)), 0.0
     )
     dp = jax.lax.dot(do, vT, preferred_element_type=jnp.float32)
-    ds = p * (dp - di[:, None]) * scale
-    return p, ds
+    if dropout_rate > 0.0:
+        # Regenerate the forward's keep mask from the same counter hash.
+        keep = dropout_keep_mask(seed, bh, q_pos, k_pos, dropout_rate)
+        inv = 1.0 / (1.0 - dropout_rate)
+        p_v = jnp.where(keep, p, 0.0) * inv
+        dpm = jnp.where(keep, dp * inv, 0.0)
+    else:
+        p_v = p
+        dpm = dp
+    ds = p * (dpm - di[:, None])
+    if softcap is not None:
+        ds = ds * (1.0 - (z / softcap) ** 2)
+    ds = ds * scale
+    return p_v, ds
 
 
 def _dkv_kernel(
-    q_offset_ref, kv_lens_ref,
+    q_offset_ref, kv_lens_ref, seed_ref,
     q_ref, kT_ref, v_ref, vT_ref, do_ref, lse_ref, di_ref,
     qseg_ref, kseg_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
-    *, scale, causal, window, block_q, block_k, num_q_tiles, has_segments,
+    *, scale, causal, window, softcap, block_q, block_k, num_q_tiles,
+    has_segments, dropout_rate,
 ):
-    b, ki, qi = pl.program_id(0), pl.program_id(2), pl.program_id(3)
+    b, h = pl.program_id(0), pl.program_id(1)
+    ki, qi = pl.program_id(2), pl.program_id(3)
     q_off = q_offset_ref[b]
     kv_len = kv_lens_ref[b]
 
@@ -88,16 +112,19 @@ def _dkv_kernel(
     def _():
         q = q_ref[0, 0]
         do = do_ref[0, 0]
-        p, ds = _recompute_p_and_ds(
+        p_v, ds = _recompute_p_and_ds(
             q, kT_ref[0, 0], vT_ref[0, 0], do, lse_ref[0, 0, 0], di_ref[0, 0, 0],
-            scale=scale, causal=causal, window=window, q_off=q_off,
+            scale=scale, causal=causal, window=window, softcap=softcap,
+            q_off=q_off,
             kv_len=kv_len, qi=qi, ki=ki, block_q=block_q, block_k=block_k,
             seg_q=qseg_ref[0, 0] if has_segments else None,
             seg_k=kseg_ref[0, 0] if has_segments else None,
+            dropout_rate=dropout_rate, seed=seed_ref[0],
+            bh=b * pl.num_programs(1) + h,
         )
         dtype = q.dtype
         dv_acc[...] += jax.lax.dot(
-            p.T.astype(dtype), do, preferred_element_type=jnp.float32
+            p_v.T.astype(dtype), do, preferred_element_type=jnp.float32
         )
         dk_acc[...] += jax.lax.dot(
             ds.T.astype(dtype), q, preferred_element_type=jnp.float32
@@ -110,14 +137,16 @@ def _dkv_kernel(
 
 
 def _dq_kernel(
-    q_offset_ref, kv_lens_ref,
+    q_offset_ref, kv_lens_ref, seed_ref,
     q_ref, kT_ref, k_ref, vT_ref, do_ref, lse_ref, di_ref,
     qseg_ref, kseg_ref,
     dq_ref,
     dq_acc,
-    *, scale, causal, window, block_q, block_k, num_k_tiles, has_segments,
+    *, scale, causal, window, softcap, block_q, block_k, num_k_tiles,
+    has_segments, dropout_rate,
 ):
-    b, qi, ki = pl.program_id(0), pl.program_id(2), pl.program_id(3)
+    b, h = pl.program_id(0), pl.program_id(1)
+    qi, ki = pl.program_id(2), pl.program_id(3)
     q_off = q_offset_ref[b]
     kv_len = kv_lens_ref[b]
 
@@ -141,10 +170,13 @@ def _dq_kernel(
         _, ds = _recompute_p_and_ds(
             q, kT_ref[0, 0], vT_ref[0, 0], do_ref[0, 0], lse_ref[0, 0, 0],
             di_ref[0, 0, 0],
-            scale=scale, causal=causal, window=window, q_off=q_off,
+            scale=scale, causal=causal, window=window, softcap=softcap,
+            q_off=q_off,
             kv_len=kv_len, qi=qi, ki=ki, block_q=block_q, block_k=block_k,
             seg_q=qseg_ref[0, 0] if has_segments else None,
             seg_k=kseg_ref[0, 0] if has_segments else None,
+            dropout_rate=dropout_rate, seed=seed_ref[0],
+            bh=b * pl.num_programs(1) + h,
         )
         dq_acc[...] += jax.lax.dot(
             ds.astype(q.dtype), k_ref[0, 0], preferred_element_type=jnp.float32
@@ -166,8 +198,11 @@ def flash_attention_bwd(
     block_q: int,
     block_k: int,
     interpret: bool,
+    softcap: Optional[float] = None,
     q_segment_ids=None,  # [B, Sq] int32 (packed varlen) or None
     kv_segment_ids=None,
+    dropout_rate: float = 0.0,
+    seed=None,  # [1] int32 dropout seed
 ):
     """dq, dk, dv for bshd flash attention.
 
@@ -223,15 +258,18 @@ def flash_attention_bwd(
     )  # [B,Hq,Sqp] -> 8-sublane layout matching the forward's lse output
     di = jnp.broadcast_to(di[:, :, None, :], lse.shape)
 
-    common = dict(scale=scale, causal=causal, window=window,
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+
+    common = dict(scale=scale, causal=causal, window=window, softcap=softcap,
                   block_q=block_q, block_k=block_k,
-                  has_segments=has_segments)
+                  has_segments=has_segments, dropout_rate=dropout_rate)
 
     # ---- dK/dV (per q-head, grid: b, h, ki, qi-inner) ----
     dkv = pl.pallas_call(
         functools.partial(_dkv_kernel, num_q_tiles=nq, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B, Hq, nk, nq),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D),
@@ -270,14 +308,14 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_offset, kv_lens, qt, kT, vt, vT, dot_, lse, di, qs8, ks8)
+    )(q_offset, kv_lens, seed, qt, kT, vt, vT, dot_, lse, di, qs8, ks8)
     dk_per_q, dv_per_q = dkv
 
     # ---- dQ (grid: b, h, qi, ki-inner) ----
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, num_k_tiles=nk, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B, Hq, nq, nk),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D),
@@ -306,7 +344,7 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_offset, kv_lens, qt, kT, kt, vT, dot_, lse, di, qs8, ks8)
+    )(q_offset, kv_lens, seed, qt, kT, kt, vT, dot_, lse, di, qs8, ks8)
 
     dq_out = dq[:, :, :Sq].transpose(0, 2, 1, 3)
     # GQA: fold per-q-head dk/dv over the group.

@@ -60,6 +60,8 @@ def _kernel(
     max_pages: int,
     scale: float,
     kv_scale: float,
+    window: Optional[int],
+    softcap: Optional[float],
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -104,10 +106,16 @@ def _kernel(
         v = v_buf[slot].astype(jnp.float32) * kv_scale  # [D, page]
 
         s = jax.lax.dot(q, k, preferred_element_type=jnp.float32)  # [G8, page]
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
         pos = i * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (G8, page_size), 1
         )
-        s = jnp.where(pos < length, s, MASK_VALUE)
+        mask = pos < length
+        if window is not None:
+            # The decode token sits at absolute position length-1.
+            mask &= pos > (length - 1) - window
+        s = jnp.where(mask, s, MASK_VALUE)
 
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m, m_curr)
@@ -132,7 +140,8 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "kv_scale", "interpret")
+    jax.jit,
+    static_argnames=("scale", "kv_scale", "window", "softcap", "interpret"),
 )
 def paged_attention(
     q: jax.Array,  # [B, Hq, D]
@@ -144,6 +153,8 @@ def paged_attention(
     *,
     scale: Optional[float] = None,
     kv_scale: float = 1.0,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     if interpret is None:
@@ -172,6 +183,8 @@ def paged_attention(
         max_pages=max_pages,
         scale=scale,
         kv_scale=kv_scale,
+        window=window,
+        softcap=softcap,
     )
 
     out = pl.pallas_call(

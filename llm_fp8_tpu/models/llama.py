@@ -257,6 +257,8 @@ def _layer_body(
     kv_lens: Optional[jax.Array],
     attn_impl: str,
     dots=None,
+    dropout_p: float = 0.0,
+    dropout_seed=0,
 ):
     """One decoder layer. Returns (x_out, (new_k, new_v), amaxes).
 
@@ -288,7 +290,10 @@ def _layer_body(
     kk = apply_rope(kk, cos, sin)
 
     if cache_kv is None:
-        attn = attention(q, kk, vv, causal=True, kv_lens=kv_lens, impl=attn_impl)
+        attn = attention(
+            q, kk, vv, causal=True, kv_lens=kv_lens, impl=attn_impl,
+            dropout_p=dropout_p, dropout_seed=dropout_seed,
+        )
         new_kv = (kk, vv)
     else:
         k_cache, v_cache, k_scale, v_scale = cache_kv[:4]
@@ -374,6 +379,8 @@ def forward(
     compute_dtype=jnp.bfloat16,
     return_kv: bool = False,
     remat: bool = False,
+    dropout_p: float = 0.0,
+    dropout_seed: jax.Array | int = 0,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Forward pass: ``tokens [B, S] -> (logits [B, S, V], updated cache)``.
 
@@ -399,10 +406,17 @@ def forward(
     lp_stack = params["layers"]
 
     if cache is None:
+        # Per-layer seed offset: without it every layer would drop the same
+        # (b, h, i, j) attention entries (attention dropout,
+        # flash_attn_func dropout_p — vary dropout_seed per train step).
+        seed0 = jnp.asarray(dropout_seed, jnp.int32)
+        L = jax.tree_util.tree_leaves(lp_stack)[0].shape[0]
 
-        def body(x, lp):
+        def body(x, lp_l):
+            lp, li = lp_l
             x, kv, _ = _layer_body(
-                x, lp, cos, sin, cfg, None, start_pos, kv_lens, attn_impl
+                x, lp, cos, sin, cfg, None, start_pos, kv_lens, attn_impl,
+                dropout_p=dropout_p, dropout_seed=seed0 + li * 7919,
             )
             return x, (kv if return_kv else None)
 
@@ -410,7 +424,10 @@ def forward(
             body = jax.checkpoint(
                 body, policy=jax.checkpoint_policies.nothing_saveable
             )
-        x, kv_out = jax.lax.scan(body, x, lp_stack, unroll=unroll)
+        x, kv_out = jax.lax.scan(
+            body, x, (lp_stack, jnp.arange(L, dtype=jnp.int32)),
+            unroll=unroll,
+        )
         new_cache = kv_out if return_kv else None
     else:
 

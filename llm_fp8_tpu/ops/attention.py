@@ -76,6 +76,8 @@ def attention_ref(
     kv_lens: Optional[jax.Array] = None,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: int | jax.Array = 0,
 ) -> jax.Array:
     """Golden attention in fp32.
 
@@ -107,6 +109,27 @@ def attention_ref(
     # Fully-masked rows (can happen with kv_lens=0) must produce zeros, not NaN.
     probs = jax.nn.softmax(logits, axis=-1)
     probs = jnp.where(jnp.any(mask, axis=-1, keepdims=True), probs, 0.0)
+    if dropout_p > 0.0:
+        # Same counter-hash mask as the flash kernel — the golden and the
+        # kernel drop identical entries for identical (seed, b·h, i, j).
+        from llm_fp8_tpu.kernels._common import dropout_keep_mask
+
+        q_off = jnp.asarray(q_offset, jnp.int32)
+        if q_off.ndim == 0:
+            q_off = jnp.broadcast_to(q_off, (B,))
+        bh = (
+            jnp.arange(B, dtype=jnp.int32)[:, None] * Hq
+            + jnp.arange(Hq, dtype=jnp.int32)[None, :]
+        )  # [B, Hq]
+        q_pos = q_off[:, None] + jnp.arange(Sq, dtype=jnp.int32)[None, :]
+        keep = dropout_keep_mask(
+            jnp.asarray(dropout_seed, jnp.int32),
+            bh[:, :, None, None],
+            q_pos[:, None, :, None],
+            jnp.arange(Sk, dtype=jnp.int32)[None, None, None, :],
+            dropout_p,
+        )
+        probs = jnp.where(keep, probs, 0.0) / (1.0 - dropout_p)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)
     return out.astype(q.dtype)
 
@@ -172,19 +195,25 @@ def attention(
     scale: Optional[float] = None,
     q_offset: int | jax.Array = 0,
     kv_lens: Optional[jax.Array] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: int | jax.Array = 0,
     impl: str = "auto",
 ) -> jax.Array:
     """Public attention entry; dispatches to the Pallas flash kernel on TPU.
 
     ``impl``: "auto" (decode fast path for Sq==1, flash on TPU, reference
     elsewhere), "flash", "decode", "ref".
+
+    ``dropout_p``: attention dropout (training); supported by the flash and
+    reference paths — the single-token decode fast path is inference-only.
     """
     if impl == "auto":
-        if q.shape[1] == 1 and causal:
+        if q.shape[1] == 1 and causal and dropout_p == 0.0:
             impl = "decode"
         else:
             impl = "flash" if jax.default_backend() == "tpu" else "ref"
     if impl == "decode":
+        assert dropout_p == 0.0, "decode fast path is inference-only"
         return decode_attention(
             q, k, v, scale=scale, kv_lens=kv_lens, window=window,
             softcap=softcap, q_offset=q_offset,
@@ -195,8 +224,10 @@ def attention(
         return flash_attention(
             q, k, v, causal=causal, window=window, softcap=softcap,
             scale=scale, q_offset=q_offset, kv_lens=kv_lens,
+            dropout_p=dropout_p, dropout_seed=dropout_seed,
         )
     return attention_ref(
         q, k, v, causal=causal, window=window, softcap=softcap,
         scale=scale, q_offset=q_offset, kv_lens=kv_lens,
+        dropout_p=dropout_p, dropout_seed=dropout_seed,
     )

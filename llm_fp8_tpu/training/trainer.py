@@ -62,6 +62,9 @@ class TrainConfig:
     # optimizer buffer — the single-chip memory knob standing in for the
     # reference's FSDP MixedPrecision policy (train_multi_gpu.py:414-419).
     adam_mu_dtype: str | None = None
+    # Attention dropout on softmax weights (flash_attn_func's dropout_p);
+    # seed varies with the step counter. bf16 recipe path only.
+    attention_dropout: float = 0.0
 
 
 @jax.tree_util.register_dataclass
@@ -165,7 +168,7 @@ class Trainer:
 
     # ---- steps ----
 
-    def _forward_loss(self, params, sinks, batch, qstate):
+    def _forward_loss(self, params, sinks, batch, qstate, step=0):
         tokens = batch["input_ids"]
         mask = batch.get("attention_mask")
         if self.recipes.enabled:
@@ -179,6 +182,8 @@ class Trainer:
             logits, _ = forward(
                 params, tokens, self.model_cfg, attn_impl=self.attn_impl,
                 unroll=self.cfg.unroll, remat=self.cfg.remat,
+                dropout_p=self.cfg.attention_dropout,
+                dropout_seed=step,
             )
             amaxes = {}
         loss, n_tokens = causal_lm_loss(
@@ -193,7 +198,7 @@ class Trainer:
 
         (loss, (n_tokens, amaxes)), grads = jax.value_and_grad(
             self._forward_loss, argnums=(0, 1), has_aux=True
-        )(state.params, sinks, batch, state.qstate)
+        )(state.params, sinks, batch, state.qstate, state.step)
         pgrads, g_amaxes = grads
 
         # Non-finite guard: skip the update, keep the step counter moving

@@ -79,3 +79,33 @@ class TestPagedAttention:
         got = paged_attention(q, kp, vp, jnp.asarray(lengths), tables)
         assert np.all(np.isfinite(np.asarray(got)))
         np.testing.assert_allclose(np.asarray(got)[0], 0.0)
+
+
+class TestPagedWindowSoftcap:
+    """Feature parity with the arena kernels: sliding window + softcap
+    (reference paged decode supports window_size/softcap,
+    hopper/flash_attn_interface.py:631-662)."""
+
+    @pytest.mark.parametrize("window,softcap", [(64, None), (None, 25.0),
+                                                (64, 25.0)])
+    def test_matches_reference(self, window, softcap):
+        B, Hq, Hk, D, page, max_pages = 2, 4, 2, 64, 128, 4
+        lengths = np.array([512, 300], np.int32)
+        kp, vp, tables, kc, vc = build_paged(
+            5, B, Hq, Hk, D, page, max_pages, lengths
+        )
+        q = jax.random.normal(jax.random.PRNGKey(6), (B, Hq, D), jnp.float32)
+        got = paged_attention(
+            q, kp, vp, jnp.asarray(lengths), tables,
+            window=window, softcap=softcap,
+        )
+        want = attention_ref(
+            q[:, None], kc, vc, causal=True,
+            q_offset=jnp.asarray(lengths) - 1,
+            kv_lens=jnp.asarray(lengths),
+            window=window, softcap=softcap,
+        )[:, 0]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2,
+            err_msg=f"window={window} softcap={softcap}",
+        )

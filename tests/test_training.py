@@ -240,3 +240,72 @@ class TestStability:
         tr.track_step(float("nan"))
         tr.track_step(1.0)
         assert tr.report()["non_finite_steps"] == 1
+
+
+class TestAttentionDropout:
+    """Training with attention dropout (flash_attn_func's dropout_p —
+    round-1 gap; reference csrc/flash_attn/src/dropout.h)."""
+
+    def test_train_with_dropout_loss_decreases(self):
+        cfg = get_config("debug-tiny")
+        trainer = Trainer(
+            cfg,
+            TrainConfig(recipes="bf16", warmup_steps=1, total_steps=50,
+                        learning_rate=5e-3, attention_dropout=0.1),
+            attn_impl="ref",
+        )
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        state = trainer.init_state(params)
+        batch = {
+            "input_ids": jax.random.randint(
+                jax.random.PRNGKey(1), (4, 32), 1, cfg.vocab_size
+            ),
+            "attention_mask": jnp.ones((4, 32), jnp.int32),
+        }
+        losses = []
+        for _ in range(12):
+            state, m = trainer.train_step(state, batch)
+            assert bool(m["finite"])
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], losses
+
+    def test_dropout_changes_loss_vs_no_dropout(self):
+        cfg = get_config("debug-tiny")
+        batch = {
+            "input_ids": jax.random.randint(
+                jax.random.PRNGKey(3), (2, 32), 1, cfg.vocab_size
+            ),
+            "attention_mask": jnp.ones((2, 32), jnp.int32),
+        }
+
+        def loss_with(rate):
+            # Fresh params each run: the train step donates its input state.
+            params = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+            t = Trainer(
+                cfg,
+                TrainConfig(recipes="bf16", attention_dropout=rate),
+                attn_impl="ref",
+            )
+            s = t.init_state(params)
+            _, m = t.train_step(s, batch)
+            return float(m["loss"])
+
+        assert loss_with(0.0) != loss_with(0.5)
+
+    def test_eval_has_no_dropout(self):
+        # evaluate() runs the plain forward — dropout must not perturb eval.
+        cfg = get_config("debug-tiny")
+        params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+        batch = {
+            "input_ids": jax.random.randint(
+                jax.random.PRNGKey(5), (2, 32), 1, cfg.vocab_size
+            ),
+        }
+        t1 = Trainer(cfg, TrainConfig(recipes="bf16", attention_dropout=0.5),
+                     attn_impl="ref")
+        t1.init_state(params)
+        t2 = Trainer(cfg, TrainConfig(recipes="bf16"), attn_impl="ref")
+        t2.init_state(params)
+        e1 = t1.evaluate(params, [batch])
+        e2 = t2.evaluate(params, [batch])
+        assert e1["eval_loss"] == e2["eval_loss"]
