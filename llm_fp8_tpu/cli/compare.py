@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -31,6 +32,19 @@ def build_parser():
     p.add_argument("--dataset_name", type=str, default="nvidia/OpenMathInstruct-2")
     p.add_argument("--split_name", type=str, default="train_1M")
     p.add_argument("--num_of_samples", type=int, default=None)
+    # Air-gapped real-data path: a raw-text corpus + locally-trained BPE
+    # tokenizer (scripts/build_corpus.py), packed into full seq_len rows.
+    p.add_argument("--corpus_file", type=str, default=None)
+    p.add_argument("--tokenizer_file", type=str, default=None)
+    p.add_argument("--max_tokens", type=int, default=None,
+                   help="cap the packed-corpus token count")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="cap train steps per config")
+    p.add_argument("--max_eval_batches", type=int, default=None)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--adam_mu_dtype", type=str, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="skip configs already present in --out, merge results")
     p.add_argument("--configs", nargs="+",
                    default=["bf16", "default", "hybrid", "mxfp8"],
                    choices=["bf16", "default", "hybrid", "mxfp8"])
@@ -53,31 +67,49 @@ def main(argv=None):
 
     cfg = get_config(args.model_name)
 
-    if args.synthetic_samples:
-        class _Tok:
-            pad_token_id = 0
-            eos_token_id = 0
+    if args.corpus_file:
+        from llm_fp8_tpu.training.data import load_packed_corpus
 
-            def __call__(self, text, truncation=True, max_length=None):
-                return {"input_ids": [ord(c) % (cfg.vocab_size - 3) + 3
-                                      for c in text][:max_length]}
-
-        tok, examples = _Tok(), synthetic_examples(args.synthetic_samples)
+        train_seqs, eval_seqs = load_packed_corpus(
+            args.corpus_file, args.tokenizer_file, args.max_seq_length,
+            max_tokens=args.max_tokens,
+        )
+        dm = DataManager(
+            DataConfig(max_seq_length=args.max_seq_length,
+                       batch_size=args.batch_size),
+            type("_T", (), {"pad_token_id": 0, "eos_token_id": 0})(),
+        )
+        print(f"packed corpus: {len(train_seqs)} train / {len(eval_seqs)} "
+              f"eval rows of {args.max_seq_length}")
     else:
-        from transformers import AutoTokenizer
+        if args.synthetic_samples:
+            class _Tok:
+                pad_token_id = 0
+                eos_token_id = 0
 
-        tok = AutoTokenizer.from_pretrained(args.model_name)
-        examples = None
-    dm = DataManager(
-        DataConfig(dataset_name=args.dataset_name, split_name=args.split_name,
-                   max_seq_length=args.max_seq_length,
-                   num_of_samples=args.num_of_samples,
-                   batch_size=args.batch_size),
-        tok,
-    )
-    train_seqs, eval_seqs = dm.build(examples)
+                def __call__(self, text, truncation=True, max_length=None):
+                    return {"input_ids": [ord(c) % (cfg.vocab_size - 3) + 3
+                                          for c in text][:max_length]}
+
+            tok, examples = _Tok(), synthetic_examples(args.synthetic_samples)
+        else:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(args.model_name)
+            examples = None
+        dm = DataManager(
+            DataConfig(dataset_name=args.dataset_name,
+                       split_name=args.split_name,
+                       max_seq_length=args.max_seq_length,
+                       num_of_samples=args.num_of_samples,
+                       batch_size=args.batch_size),
+            tok,
+        )
+        train_seqs, eval_seqs = dm.build(examples)
     steps_per_epoch = len(train_seqs) // args.batch_size
     total_steps = max(steps_per_epoch * args.num_epochs, 1)
+    if args.max_steps is not None:
+        total_steps = min(total_steps, args.max_steps)
 
     # Identical initial weights for every config — the controlled variable is
     # precision only (the reference reloads the pretrained checkpoint per run).
@@ -87,29 +119,52 @@ def main(argv=None):
         base_params = load_hf_checkpoint(args.weights_path, cfg, dtype=jnp.float32)
 
     results = {}
+    if args.resume and os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+        print(f"resume: found {sorted(results)} in {args.out}")
+
     for recipes in args.configs:
+        if recipes in results:
+            continue
         trainer = Trainer(
             cfg,
             TrainConfig(learning_rate=args.learning_rate,
                         warmup_steps=args.num_warmup_steps,
-                        total_steps=total_steps, recipes=recipes),
+                        total_steps=total_steps, recipes=recipes,
+                        remat=args.remat, adam_mu_dtype=args.adam_mu_dtype),
         )
         state = trainer.init_state(jax.tree_util.tree_map(jnp.copy, base_params))
         tracker = StabilityTracker(precision_name=recipes)
+        steps = 0
         t0 = time.perf_counter()
         for epoch in range(args.num_epochs):
+            if steps >= total_steps:
+                break
             for batch in dm.batches(train_seqs, args.batch_size,
                                     shuffle=True, seed=epoch):
+                if steps >= total_steps:
+                    break
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 state, m = trainer.train_step(state, batch)
                 tracker.track_step(float(m["loss"]),
                                    grad_norm=float(m["grad_norm"]))
+                steps += 1
+                if steps % 200 == 0:
+                    print(f"[{recipes}] step {steps}/{total_steps} "
+                          f"loss={float(m['loss']):.4f} "
+                          f"({(time.perf_counter()-t0)/steps:.3f}s/step)",
+                          flush=True)
         jax.block_until_ready(state.params["final_norm"])
         wall = time.perf_counter() - t0
+        eval_iter = dm.batches(eval_seqs, args.batch_size, shuffle=False)
+        if args.max_eval_batches is not None:
+            import itertools
+
+            eval_iter = itertools.islice(eval_iter, args.max_eval_batches)
         ev = trainer.evaluate(
             state.params,
-            ({k: jnp.asarray(v) for k, v in b.items()}
-             for b in dm.batches(eval_seqs, args.batch_size, shuffle=False)),
+            ({k: jnp.asarray(v) for k, v in b.items()} for b in eval_iter),
         )
         results[recipes] = {
             "train_wall_s": round(wall, 2),
@@ -117,8 +172,13 @@ def main(argv=None):
             "perplexity": ev["perplexity"],
             "stability": tracker.report(),
         }
+        var = results[recipes]["stability"]["loss_stats"].get("variance")
         print(f"[{recipes}] wall={wall:.1f}s ppl={ev['perplexity']:.4f} "
-              f"loss_var={results[recipes]['stability']['loss_stats'].get('variance'):.5f}")
+              f"loss_var={var if var is None else round(var, 5)}")
+        # Persist after every config — a crash mid-study keeps finished arms
+        # (combine later runs with --resume).
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2, default=str)
 
     if "bf16" in results:
         base_ppl = results["bf16"]["perplexity"]

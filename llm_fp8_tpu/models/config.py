@@ -111,6 +111,18 @@ MODEL_REGISTRY = {
         head_dim=32, rope_theta=1000000.0, rms_eps=1e-6, qk_norm=True,
         max_position_embeddings=2048,
     ),
+    # Precision-study config: the exact Llama-3.2-1B architecture with a
+    # 32768-entry vocab matching the locally-trained BPE tokenizer
+    # (scripts/build_corpus.py) — 1.04B params. The air-gapped stand-in for
+    # the reference protocol's pretrained-checkpoint run
+    # (train_fp8.py:316-356); everything but the embedding table is
+    # dimension-identical to llama-3.2-1b.
+    "llama-1b-32k": ModelConfig(
+        name="llama-1b-32k", vocab_size=32768, hidden_size=2048,
+        intermediate_size=8192, num_layers=16, num_heads=32, num_kv_heads=8,
+        head_dim=64, rope_theta=500000.0, rope_scaling=_LLAMA32_SCALING,
+        tie_word_embeddings=True,
+    ),
     # Small debug configs (the reference's debug presets train 100 samples on
     # tiny batches, run_multigpu.sh:104-126; we go further: tiny *models*).
     "debug-tiny": ModelConfig(

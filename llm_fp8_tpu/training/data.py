@@ -22,7 +22,8 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["DataConfig", "DataManager", "make_batches", "CHAT_TEMPLATE"]
+__all__ = ["DataConfig", "DataManager", "make_batches", "CHAT_TEMPLATE",
+           "load_packed_corpus"]
 
 # The reference uses one template for both Llama and Qwen (its LLAMA_ and
 # QWEN_ constants are identical strings, data.py:13-29).
@@ -208,6 +209,55 @@ class ResumableBatches:
             yield batches[i]
         self.epoch += 1
         self.batch_index = 0
+
+
+def load_packed_corpus(
+    corpus_file: str,
+    tokenizer_file: str,
+    seq_len: int,
+    *,
+    max_tokens: Optional[int] = None,
+    test_size: float = 0.05,
+    seed: int = 42,
+):
+    """Pretraining-style data path: tokenize a raw-text corpus with a
+    ``tokenizers`` BPE file and pack into fixed ``seq_len`` rows (no padding
+    — every position is a real token, so eval perplexity weights tokens
+    uniformly). Returns ``(train_rows, eval_rows)`` compatible with
+    :func:`make_batches`.
+
+    This is the air-gapped stand-in for the reference protocol's
+    HF-hub dataset + pretrained tokenizer (``/root/reference/data.py:49-62``);
+    the train/eval split keeps the reference's shuffled holdout discipline
+    (``data.py:55``, seed 42).
+    """
+    from tokenizers import Tokenizer
+
+    tok = Tokenizer.from_file(tokenizer_file)
+    chunks = []
+    total = 0
+    chunk_chars = 4 << 20
+    with open(corpus_file, encoding="utf-8") as fh:
+        while True:
+            text = fh.read(chunk_chars)
+            if not text:
+                break
+            ids = np.asarray(tok.encode(text).ids, np.int32)
+            chunks.append(ids)
+            total += len(ids)
+            if max_tokens is not None and total >= max_tokens:
+                break
+    flat = np.concatenate(chunks) if chunks else np.zeros((0,), np.int32)
+    if max_tokens is not None:
+        flat = flat[:max_tokens]
+    n_rows = len(flat) // seq_len
+    rows = flat[: n_rows * seq_len].reshape(n_rows, seq_len)
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(n_rows)
+    n_test = max(1, int(n_rows * test_size))
+    test = [rows[i] for i in order[:n_test]]
+    train = [rows[i] for i in order[n_test:]]
+    return train, test
 
 
 def synthetic_examples(n: int, seed: int = 0) -> List[Dict[str, str]]:
