@@ -141,6 +141,89 @@ def test_deterministic_by_repetition():
         np.testing.assert_array_equal(first, again)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float8_e4m3fn, jnp.bfloat16])
+def test_in_kernel_append(dtype):
+    """With new_k/new_v the kernel quantizes + appends the token at column
+    lengths-1, then attends over it (the ``k``/``v`` arguments of the
+    reference kvcache kernel, ``flash_attn_interface.py:1464+``)."""
+    B, S, Hk, D = 3, 256, 2, 64
+    Hq = Hk * 4
+    kv_scale = 0.5
+    q, ka, va = make_case(
+        jax.random.PRNGKey(8), B, S, Hq, Hk, D, dtype, kv_scale=kv_scale
+    )
+    kn, vn = jax.random.split(jax.random.PRNGKey(9))
+    # The kernel ships the new token to VMEM as bf16; quantize from bf16.
+    new_k = jax.random.normal(kn, (B, Hk, D), jnp.float32).astype(jnp.bfloat16)
+    new_v = jax.random.normal(vn, (B, Hk, D), jnp.float32).astype(jnp.bfloat16)
+    # lengths INCLUDE the new token; place them straddling tile boundaries.
+    lens = jnp.asarray([1, 128, 200], jnp.int32)
+
+    got, ka2, va2 = decode_attention_arena(
+        q, ka, va, lens, 0, new_k=new_k, new_v=new_v,
+        k_scale=kv_scale, v_scale=kv_scale, chunk=128,
+    )
+
+    # (a) the arena was updated in the right column, quantized at the scale
+    fmax = float(jnp.finfo(dtype).max) if dtype != jnp.bfloat16 else None
+    for b, ln in enumerate([1, 128, 200]):
+        col = np.asarray(ka2[0, b, :, :, ln - 1].astype(jnp.float32))
+        wantc = new_k[b] / kv_scale
+        if fmax is not None:
+            wantc = jnp.clip(wantc, -fmax, fmax)
+        wantc = np.asarray(wantc.astype(dtype).astype(jnp.float32))
+        np.testing.assert_array_equal(col, wantc)
+        # neighbours untouched
+        if ln >= 2:
+            np.testing.assert_array_equal(
+                np.asarray(ka2[0, b, :, :, ln - 2]),
+                np.asarray(ka[0, b, :, :, ln - 2]))
+
+    # (b) attention matches the golden run on the post-append cache
+    want = attention_ref(
+        q[:, None], dequant(ka2, kv_scale), dequant(va2, kv_scale),
+        causal=True, q_offset=lens - 1, kv_lens=lens,
+    )[:, 0]
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_append_matches_separate_append_then_attend():
+    """In-kernel append ≡ XLA append followed by the attend-only kernel."""
+    B, S, Hk, D = 2, 256, 2, 64
+    kv_scale = 0.25
+    q, ka, va = make_case(
+        jax.random.PRNGKey(10), B, S, Hk * 2, Hk, D, kv_scale=kv_scale
+    )
+    new_k = jax.random.normal(
+        jax.random.PRNGKey(11), (B, Hk, D), jnp.float32).astype(jnp.bfloat16)
+    new_v = jax.random.normal(
+        jax.random.PRNGKey(12), (B, Hk, D), jnp.float32).astype(jnp.bfloat16)
+    lens = jnp.asarray([77, 256], jnp.int32)
+
+    got, ka2, va2 = decode_attention_arena(
+        q, ka, va, lens, 0, new_k=new_k, new_v=new_v,
+        k_scale=kv_scale, v_scale=kv_scale, chunk=128,
+    )
+
+    fmax = float(jnp.finfo(ka.dtype).max)
+
+    def xla_append(arena, new):
+        out = arena
+        for b in range(B):
+            col = jnp.clip(new[b] / kv_scale, -fmax, fmax).astype(arena.dtype)
+            out = out.at[0, b, :, :, lens[b] - 1].set(col)
+        return out
+
+    ka_x = xla_append(ka, new_k)
+    va_x = xla_append(va, new_v)
+    np.testing.assert_array_equal(np.asarray(ka2), np.asarray(ka_x))
+    np.testing.assert_array_equal(np.asarray(va2), np.asarray(va_x))
+    want = decode_attention_arena(
+        q, ka_x, va_x, lens, 0, k_scale=kv_scale, v_scale=kv_scale, chunk=128
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_forward_decode_arena_matches_kvcache_path():
     """Whole-model: the fused-arena decode path must produce the same logits
     as the existing KVCache fp8 path (same quantization, same math)."""
