@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--dp", type=int, default=1)
     m.add_argument("--fsdp", type=int, default=-1)
     m.add_argument("--tp", type=int, default=1)
+    m.add_argument("--cp", type=int, default=1,
+                   help="context-parallel degree (ring attention over the "
+                        "sequence; long-context training)")
     m.add_argument("--multihost", action="store_true",
                    help="Call jax.distributed.initialize() (multi-host slice;"
                         " replaces the reference's torchrun/NCCL bootstrap,"
@@ -137,7 +140,9 @@ def main(argv=None):
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
     else:
         params = load_hf_checkpoint(args.weights_path, cfg, dtype=jnp.float32)
-    mesh = make_mesh(MeshConfig(dp=args.dp, fsdp=args.fsdp, tp=args.tp))
+    mesh = make_mesh(
+        MeshConfig(dp=args.dp, fsdp=args.fsdp, cp=args.cp, tp=args.tp)
+    )
     params = shard_params(params, mesh)
 
     trainer = Trainer(
@@ -151,6 +156,7 @@ def main(argv=None):
             grad_accum=args.gradient_accumulation_steps,
             recipes=recipes,
         ),
+        cp_mesh=mesh if args.cp > 1 else None,
     )
     state = trainer.init_state(params)
 

@@ -259,6 +259,8 @@ def _layer_body(
     dots=None,
     dropout_p: float = 0.0,
     dropout_seed=0,
+    cp_axis=None,
+    cp_mesh=None,
 ):
     """One decoder layer. Returns (x_out, (new_k, new_v), amaxes).
 
@@ -293,6 +295,7 @@ def _layer_body(
         attn = attention(
             q, kk, vv, causal=True, kv_lens=kv_lens, impl=attn_impl,
             dropout_p=dropout_p, dropout_seed=dropout_seed,
+            cp_axis=cp_axis, cp_mesh=cp_mesh,
         )
         new_kv = (kk, vv)
     else:
@@ -381,8 +384,13 @@ def forward(
     remat: bool = False,
     dropout_p: float = 0.0,
     dropout_seed: jax.Array | int = 0,
+    cp_axis: Optional[str] = None,
+    cp_mesh=None,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Forward pass: ``tokens [B, S] -> (logits [B, S, V], updated cache)``.
+
+    ``cp_axis``/``cp_mesh``: shard the sequence over a mesh axis and run
+    ring attention (context parallelism) — training/eval path only.
 
     Three usages:
       * training/eval: ``cache=None`` — full causal self-attention.
@@ -417,6 +425,7 @@ def forward(
             x, kv, _ = _layer_body(
                 x, lp, cos, sin, cfg, None, start_pos, kv_lens, attn_impl,
                 dropout_p=dropout_p, dropout_seed=seed0 + li * 7919,
+                cp_axis=cp_axis, cp_mesh=cp_mesh,
             )
             return x, (kv if return_kv else None)
 
@@ -590,8 +599,10 @@ def forward_decode_arena(
     lane-major ``[L, B, Hk, Dh, S]`` and the Pallas kernel
     (:func:`llm_fp8_tpu.kernels.decode_attention.decode_attention_arena`)
     dequantizes K/V per-chunk in VMEM — the whole-arena XLA dequant that
-    collapsed fp8-KV to 0.37x in round 1 never happens. Rotary + quantize +
-    append of the single new token stay in XLA (a [B, Hk, Dh] scatter).
+    collapsed fp8-KV to 0.37x in round 1 never happens. Quantize + append of
+    the single new token also happen *inside* the kernel (one aligned
+    128-lane tile RMW per sequence — the XLA scatter into the lane-major
+    arena measured ~4 ms/step at B=32); only rotary stays in XLA.
     Matches ``flash_attn_with_kvcache`` semantics
     (``flash_attn/modules/mha.py:502-541``).
 
@@ -608,21 +619,6 @@ def forward_decode_arena(
     positions = lens[:, None]
     inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     cos, sin = rope_cos_sin(positions, inv_freq)
-
-    fp8 = k_arena.dtype != jnp.bfloat16 and k_arena.dtype != jnp.float32
-    fmax = float(jnp.finfo(k_arena.dtype).max) if fp8 else None
-
-    def append(arena, new, layer_idx):
-        """Write new [B, Hk, Dh] at column lens[b] of arena[layer_idx, b]."""
-
-        def one(a_b, s_b, p):
-            # a_b [L, Hk, Dh, S]; s_b [Hk, Dh]; write [1, Hk, Dh, 1] at col p.
-            return jax.lax.dynamic_update_slice(
-                a_b, s_b[None, :, :, None].astype(a_b.dtype),
-                (layer_idx, 0, 0, p),
-            )
-
-        return jax.vmap(one, in_axes=(1, 0, 0), out_axes=1)(arena, new, lens)
 
     def body(carry, lp_l):
         x, ka, va = carry
@@ -641,17 +637,9 @@ def forward_decode_arena(
         kk = apply_rope(kk, cos, sin)
         vv = vv.reshape(B, 1, Hk, Dh)
 
-        k_new = kk[:, 0].astype(jnp.float32) / kv_scale
-        v_new = vv[:, 0].astype(jnp.float32) / kv_scale
-        if fmax is not None:
-            # Saturate before the fp8 cast (overflow would become NaN).
-            k_new = jnp.clip(k_new, -fmax, fmax)
-            v_new = jnp.clip(v_new, -fmax, fmax)
-        ka = append(ka, k_new, l)
-        va = append(va, v_new, l)
-
-        attn = decode_attention_arena(
+        attn, ka, va = decode_attention_arena(
             q[:, 0], ka, va, lens + 1, l,
+            new_k=kk[:, 0], new_v=vv[:, 0],
             k_scale=kv_scale, v_scale=kv_scale,
             window=window, softcap=softcap,
         )
@@ -683,6 +671,8 @@ def forward_fp8_train(
     unroll: int = 1,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    cp_axis: Optional[str] = None,
+    cp_mesh=None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """FP8 training forward: quantize-both-operands GEMMs with delayed scales.
 
@@ -708,7 +698,8 @@ def forward_fp8_train(
         lp, layer_scales, layer_sinks = per_layer
         dots = _make_train_dots(recipes, layer_scales, layer_sinks)
         x, _, amaxes = _layer_body(
-            x, lp, cos, sin, cfg, None, zero, None, attn_impl, dots=dots
+            x, lp, cos, sin, cfg, None, zero, None, attn_impl, dots=dots,
+            cp_axis=cp_axis, cp_mesh=cp_mesh,
         )
         return x, amaxes
 

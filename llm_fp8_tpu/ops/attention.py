@@ -198,6 +198,8 @@ def attention(
     dropout_p: float = 0.0,
     dropout_seed: int | jax.Array = 0,
     impl: str = "auto",
+    cp_axis: Optional[str] = None,
+    cp_mesh=None,
 ) -> jax.Array:
     """Public attention entry; dispatches to the Pallas flash kernel on TPU.
 
@@ -206,7 +208,52 @@ def attention(
 
     ``dropout_p``: attention dropout (training); supported by the flash and
     reference paths — the single-token decode fast path is inference-only.
+
+    ``cp_axis``/``cp_mesh``: context parallelism. When set, the call becomes
+    a manual-sharding island inside the surrounding GSPMD program: q/k/v are
+    resharded so *sequence* lies along ``cp_axis`` of ``cp_mesh`` and the
+    differentiable ring of flash kernels runs over explicit ``ppermute``
+    hops (``parallel/ring_attention.py``). Dense causal/full attention only.
     """
+    if cp_axis is not None:
+        from functools import partial
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from llm_fp8_tpu.parallel.ring_attention import ring_attention
+
+        if (window is not None or softcap is not None or dropout_p != 0.0
+                or kv_lens is not None):
+            raise NotImplementedError(
+                "context parallelism supports dense causal/full attention "
+                "(no window/softcap/dropout/kv_lens)"
+            )
+        assert cp_mesh is not None, "cp_axis requires cp_mesh"
+        names = set(cp_mesh.axis_names)
+        shape = dict(zip(cp_mesh.axis_names, cp_mesh.devices.shape))
+        # Keep batch sharded over the data axes and heads over tp while the
+        # island runs — each (batch, head) shard rings independently; only
+        # axes that divide evenly can stay sharded.
+        b_ax = tuple(
+            a for a in ("dp", "fsdp")
+            if a in names and q.shape[0] % shape[a] == 0 and shape[a] > 1
+        )
+        h_ax = (
+            "tp"
+            if "tp" in names
+            and q.shape[2] % shape["tp"] == 0
+            and k.shape[2] % shape["tp"] == 0
+            else None
+        )
+        spec = P(b_ax or None, cp_axis, h_ax, None)
+        fn = shard_map(
+            partial(ring_attention, axis_name=cp_axis, causal=causal,
+                    scale=scale),
+            mesh=cp_mesh, in_specs=(spec,) * 3, out_specs=spec,
+            check_vma=False,
+        )
+        return fn(q, k, v)
     if impl == "auto":
         if q.shape[1] == 1 and causal and dropout_p == 0.0:
             impl = "decode"

@@ -9,13 +9,19 @@ slice, axes ``(dp, fsdp, tp)``:
                Put the DCN (multi-host) dimension here.
   * ``fsdp`` — parameter-sharded data parallel (reference: FSDP FULL_SHARD /
                ZeRO, ``train_multi_gpu.py:381-460``).
+  * ``cp``   — context parallel: the *sequence* dimension ring for long-
+               context training (``parallel/ring_attention.py``). Beyond the
+               reference, whose levers stop at sliding windows. Size 1 by
+               default; the axis always exists so specs can name it.
   * ``tp``   — tensor parallel (reference: ColumnParallel/RowParallelLinear +
                ParallelMHA, ``fused_dense.py:166-248``, ``mha.py:707-993``).
                Keep within a host so collectives ride ICI.
 
 Sequence parallelism needs no axis of its own: under GSPMD the Megatron-style
 SP (activations sharded along seq between TP ranks) is an activation
-PartitionSpec on the same ``tp`` axis — see ``sharding.py``.
+PartitionSpec on the same ``tp`` axis — see ``sharding.py``. ``cp`` is
+different: ring attention is a manual-sharding (``shard_map``) island with
+explicit ``ppermute`` hops, so it needs a real mesh axis.
 """
 from __future__ import annotations
 
@@ -26,10 +32,13 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["MeshConfig", "make_mesh", "AXIS_DP", "AXIS_FSDP", "AXIS_TP"]
+__all__ = [
+    "MeshConfig", "make_mesh", "AXIS_DP", "AXIS_FSDP", "AXIS_CP", "AXIS_TP",
+]
 
 AXIS_DP = "dp"
 AXIS_FSDP = "fsdp"
+AXIS_CP = "cp"
 AXIS_TP = "tp"
 
 
@@ -41,18 +50,19 @@ class MeshConfig:
 
     dp: int = 1
     fsdp: int = -1  # -1: absorb remaining devices
+    cp: int = 1
     tp: int = 1
 
     def resolve(self, n_devices: int) -> "MeshConfig":
-        dp, fsdp, tp = self.dp, self.fsdp, self.tp
+        dp, fsdp, cp, tp = self.dp, self.fsdp, self.cp, self.tp
         if fsdp == -1:
-            assert n_devices % (dp * tp) == 0, (n_devices, dp, tp)
-            fsdp = n_devices // (dp * tp)
-        if dp * fsdp * tp != n_devices:
+            assert n_devices % (dp * cp * tp) == 0, (n_devices, dp, cp, tp)
+            fsdp = n_devices // (dp * cp * tp)
+        if dp * fsdp * cp * tp != n_devices:
             raise ValueError(
-                f"mesh {dp}x{fsdp}x{tp} != {n_devices} devices"
+                f"mesh {dp}x{fsdp}x{cp}x{tp} != {n_devices} devices"
             )
-        return MeshConfig(dp=dp, fsdp=fsdp, tp=tp)
+        return MeshConfig(dp=dp, fsdp=fsdp, cp=cp, tp=tp)
 
 
 def make_mesh(
@@ -61,5 +71,5 @@ def make_mesh(
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     cfg = config.resolve(len(devices))
-    arr = np.asarray(devices).reshape(cfg.dp, cfg.fsdp, cfg.tp)
-    return Mesh(arr, (AXIS_DP, AXIS_FSDP, AXIS_TP))
+    arr = np.asarray(devices).reshape(cfg.dp, cfg.fsdp, cfg.cp, cfg.tp)
+    return Mesh(arr, (AXIS_DP, AXIS_FSDP, AXIS_CP, AXIS_TP))

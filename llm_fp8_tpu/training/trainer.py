@@ -141,11 +141,20 @@ class Trainer:
         train_cfg: TrainConfig,
         *,
         attn_impl: str = "auto",
+        cp_mesh=None,
     ):
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         self.recipes: RecipeSet = recipe_set_by_name(train_cfg.recipes)
         self.attn_impl = attn_impl
+        # Context parallelism: a mesh whose "cp" axis is >1 turns every
+        # training attention into the ring island (parallel/mesh.py AXIS_CP).
+        self.cp_mesh = cp_mesh
+        self.cp_axis = None
+        if cp_mesh is not None:
+            shape = dict(zip(cp_mesh.axis_names, cp_mesh.devices.shape))
+            if shape.get("cp", 1) > 1:
+                self.cp_axis = "cp"
         self.tx = None  # built at init_state
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -177,6 +186,7 @@ class Trainer:
                 params, tokens, self.model_cfg, self.recipes, scales, sinks,
                 attn_impl=self.attn_impl, unroll=self.cfg.unroll,
                 remat=self.cfg.remat,
+                cp_axis=self.cp_axis, cp_mesh=self.cp_mesh,
             )
         else:
             logits, _ = forward(
@@ -184,6 +194,7 @@ class Trainer:
                 unroll=self.cfg.unroll, remat=self.cfg.remat,
                 dropout_p=self.cfg.attention_dropout,
                 dropout_seed=step,
+                cp_axis=self.cp_axis, cp_mesh=self.cp_mesh,
             )
             amaxes = {}
         loss, n_tokens = causal_lm_loss(
@@ -250,6 +261,7 @@ class Trainer:
         logits, _ = forward(
             params, batch["input_ids"], self.model_cfg,
             attn_impl=self.attn_impl, unroll=self.cfg.unroll,
+            cp_axis=self.cp_axis, cp_mesh=self.cp_mesh,
         )
         loss, n = causal_lm_loss(
             logits, batch["input_ids"], batch.get("attention_mask")

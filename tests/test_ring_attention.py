@@ -37,6 +37,34 @@ def test_matches_reference(causal, n_dev):
     )
 
 
+@pytest.mark.parametrize("causal", [True, False])
+def test_grad_matches_reference(causal):
+    """Ring backward (second ring over the flash bwd kernels) vs jax.grad of
+    the single-device reference — the long-context *training* capability."""
+    n_dev = 4
+    S = 128 * n_dev
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(kq, (1, S, 4, 64), jnp.float32)
+    k = jax.random.normal(kk, (1, S, 2, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, S, 2, 64), jnp.float32)
+
+    def loss_ring(q, k, v):
+        out = run_ring(q, k, v, n_dev, causal)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        out = attention_ref(q, k, v, causal=causal)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    got = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-2, atol=5e-2,
+            err_msg=f"d{name}",
+        )
+
+
 def test_long_context_8way():
     # 8 chips × 128 = 1024 context; causal.
     S = 128 * 8
