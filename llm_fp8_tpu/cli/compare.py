@@ -43,6 +43,11 @@ def build_parser():
     p.add_argument("--max_eval_batches", type=int, default=None)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--adam_mu_dtype", type=str, default=None)
+    # Master-weight dtype. The reference trains bf16 params under torch
+    # AdamW (train_fp8.py:115,200) whose state tensors inherit bf16 —
+    # `bfloat16` reproduces that memory model exactly (optax's nu inherits
+    # the param dtype) and is what fits a 1B study on one 16GB chip.
+    p.add_argument("--param_dtype", type=str, default=None)
     p.add_argument("--resume", action="store_true",
                    help="skip configs already present in --out, merge results")
     p.add_argument("--configs", nargs="+",
@@ -134,7 +139,13 @@ def main(argv=None):
                         total_steps=total_steps, recipes=recipes,
                         remat=args.remat, adam_mu_dtype=args.adam_mu_dtype),
         )
-        state = trainer.init_state(jax.tree_util.tree_map(jnp.copy, base_params))
+        arm_params = jax.tree_util.tree_map(jnp.copy, base_params)
+        if args.param_dtype is not None:
+            dt = jnp.dtype(args.param_dtype)
+            arm_params = jax.tree_util.tree_map(
+                lambda p: p.astype(dt), arm_params
+            )
+        state = trainer.init_state(arm_params)
         tracker = StabilityTracker(precision_name=recipes)
         steps = 0
         t0 = time.perf_counter()
