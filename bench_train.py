@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from llm_fp8_tpu.models import get_config, init_params
 from llm_fp8_tpu.training import TrainConfig, Trainer
 
-BATCH = 1  # 1B + AdamW fills most of the 16 GB chip; tokens/s scales anyway
+BATCH = 8  # fits with bf16 params + bf16 mu + remat (measured 38% MFU)
 SEQ = 512
 STEPS = 8  # per timed scan dispatch
 TRIALS = 3
