@@ -1,14 +1,25 @@
 """GPT-2 family: the classic pre-LN decoder (learned positions, LayerNorm,
-GELU MLP).
+GELU MLP) — plus its OPT and BigCode/SantaCoder variants.
 
 Zoo breadth beyond the Llama/Qwen fine-tuning targets — the reference ships a
 model zoo around its kernels with GPT as the flagship
-(``flash_attn/models/gpt.py:577`` ``GPTLMHeadModel``). Same functional
-conventions as ``models/llama.py``: stacked layer params, ``lax.scan``
-forward, weights usable as plain arrays or prequantized QTensors.
+(``flash_attn/models/gpt.py:577`` ``GPTLMHeadModel``) and folds OPT and
+BigCode onto it (``flash_attn/models/opt.py:79-94`` remaps OPT's separate
+q/k/v + ReLU + offset-2 positions; ``flash_attn/models/bigcode.py:110-129``
+maps the multi-query c_attn). Same functional conventions as
+``models/llama.py``: stacked layer params, ``lax.scan`` forward, weights
+usable as plain arrays or prequantized QTensors. One config covers:
+
+  * activation       — ``gelu_tanh`` (GPT-2/BigCode) or ``relu`` (OPT);
+  * position offset  — OPT reserves the first 2 rows of its position table;
+  * multi-query      — BigCode's single shared KV head (``num_kv_heads=1``).
+
+OPT-350m's ``word_embed_proj_dim`` projection and post-LN variants are out
+of scope (the reference's OPT port skips them the same way).
 
 HF note: GPT-2 checkpoints store linear weights as ``Conv1D`` ``[in, out]`` —
-already our layout, so the loader does NOT transpose (unlike Llama).
+already our layout, so that loader does NOT transpose; OPT and BigCode use
+``nn.Linear`` ``[out, in]`` and do.
 """
 from __future__ import annotations
 
@@ -23,7 +34,8 @@ from llm_fp8_tpu.ops.layernorm import layernorm
 from llm_fp8_tpu.quant import QTensor, qdot
 
 __all__ = ["GPT2Config", "GPT2_REGISTRY", "init_gpt2_params", "gpt2_forward",
-           "pack_gpt2_state_dict"]
+           "pack_gpt2_state_dict", "pack_opt_state_dict",
+           "pack_bigcode_state_dict"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,12 +45,23 @@ class GPT2Config:
     hidden_size: int = 768
     num_layers: int = 12
     num_heads: int = 12
+    num_kv_heads: int = -1  # -1 = num_heads; 1 = BigCode multi-query
     max_position_embeddings: int = 1024
+    activation: str = "gelu_tanh"  # "gelu_tanh" | "relu" (OPT)
+    pos_offset: int = 0  # OPT: position table rows 0-1 are reserved
     ln_eps: float = 1e-5
+
+    def __post_init__(self):
+        if self.num_kv_heads < 0:
+            object.__setattr__(self, "num_kv_heads", self.num_heads)
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
 
     @property
     def intermediate_size(self) -> int:
@@ -56,6 +79,27 @@ GPT2_REGISTRY = {
     "debug-gpt2": GPT2Config(name="debug-gpt2", vocab_size=512,
                              hidden_size=128, num_layers=2, num_heads=4,
                              max_position_embeddings=256),
+    # OPT family (facebook/opt-*): ReLU MLP, offset-2 learned positions.
+    "opt-125m": GPT2Config(name="opt-125m", vocab_size=50272,
+                           max_position_embeddings=2048,
+                           activation="relu", pos_offset=2),
+    "opt-1.3b": GPT2Config(name="opt-1.3b", vocab_size=50272,
+                           hidden_size=2048, num_layers=24, num_heads=32,
+                           max_position_embeddings=2048,
+                           activation="relu", pos_offset=2),
+    "debug-opt": GPT2Config(name="debug-opt", vocab_size=512,
+                            hidden_size=128, num_layers=2, num_heads=4,
+                            max_position_embeddings=256,
+                            activation="relu", pos_offset=2),
+    # BigCode (santacoder/starcoder line): GPT-2 block + multi-query KV.
+    "santacoder": GPT2Config(name="santacoder", vocab_size=49280,
+                             hidden_size=2048, num_layers=24, num_heads=16,
+                             num_kv_heads=1,
+                             max_position_embeddings=2048),
+    "debug-bigcode": GPT2Config(name="debug-bigcode", vocab_size=512,
+                                hidden_size=128, num_layers=2, num_heads=4,
+                                num_kv_heads=1,
+                                max_position_embeddings=256),
 }
 
 
@@ -72,8 +116,8 @@ def init_gpt2_params(cfg: GPT2Config, key: jax.Array, dtype=jnp.float32):
         "layers": {
             "ln1_w": jnp.ones((L, D), dtype), "ln1_b": jnp.zeros((L, D), dtype),
             "ln2_w": jnp.ones((L, D), dtype), "ln2_b": jnp.zeros((L, D), dtype),
-            "w_qkv": w(next(k), (L, D, 3 * D)),
-            "b_qkv": jnp.zeros((L, 3 * D), dtype),
+            "w_qkv": w(next(k), (L, D, D + 2 * cfg.kv_dim)),
+            "b_qkv": jnp.zeros((L, D + 2 * cfg.kv_dim), dtype),
             "w_out": w(next(k), (L, D, D)),
             "b_out": jnp.zeros((L, D), dtype),
             "w_fc": w(next(k), (L, D, I)),
@@ -117,6 +161,93 @@ def pack_gpt2_state_dict(sd: Dict[str, jax.Array], cfg: GPT2Config,
     }
 
 
+def pack_opt_state_dict(sd: Dict[str, jax.Array], cfg: GPT2Config,
+                        dtype=jnp.float32):
+    """HF ``OPTForCausalLM`` (pre-LN variants) → stacked params. Separate
+    q/k/v Linears ``[out, in]`` concatenate transposed into the fused
+    column layout; the offset-2 position table is kept whole and the
+    offset applied at lookup (``cfg.pos_offset``). Reference remap:
+    ``flash_attn/models/opt.py:79-94``."""
+    def g(name):
+        return jnp.asarray(sd[name]).astype(dtype)
+
+    L = cfg.num_layers
+    pre = "model.decoder.layers.{}."
+
+    def qkv_w(i):
+        p = pre.format(i) + "self_attn."
+        return jnp.concatenate(
+            [g(p + "q_proj.weight").T, g(p + "k_proj.weight").T,
+             g(p + "v_proj.weight").T], axis=1,
+        )
+
+    def qkv_b(i):
+        p = pre.format(i) + "self_attn."
+        return jnp.concatenate(
+            [g(p + "q_proj.bias"), g(p + "k_proj.bias"),
+             g(p + "v_proj.bias")]
+        )
+
+    stack = lambda fmt, tr=False: jnp.stack(  # noqa: E731
+        [g(fmt.format(i)).T if tr else g(fmt.format(i)) for i in range(L)]
+    )
+    return {
+        "wte": g("model.decoder.embed_tokens.weight"),
+        "wpe": g("model.decoder.embed_positions.weight"),
+        "layers": {
+            "ln1_w": stack(pre + "self_attn_layer_norm.weight"),
+            "ln1_b": stack(pre + "self_attn_layer_norm.bias"),
+            "ln2_w": stack(pre + "final_layer_norm.weight"),
+            "ln2_b": stack(pre + "final_layer_norm.bias"),
+            "w_qkv": jnp.stack([qkv_w(i) for i in range(L)]),
+            "b_qkv": jnp.stack([qkv_b(i) for i in range(L)]),
+            "w_out": stack(pre + "self_attn.out_proj.weight", tr=True),
+            "b_out": stack(pre + "self_attn.out_proj.bias"),
+            "w_fc": stack(pre + "fc1.weight", tr=True),
+            "b_fc": stack(pre + "fc1.bias"),
+            "w_proj": stack(pre + "fc2.weight", tr=True),
+            "b_proj": stack(pre + "fc2.bias"),
+        },
+        "lnf_w": g("model.decoder.final_layer_norm.weight"),
+        "lnf_b": g("model.decoder.final_layer_norm.bias"),
+    }
+
+
+def pack_bigcode_state_dict(sd: Dict[str, jax.Array], cfg: GPT2Config,
+                            dtype=jnp.float32):
+    """HF ``GPTBigCodeForCausalLM`` → stacked params. ``c_attn`` is a
+    Linear ``[D + 2*kv_dim, D]`` with the single shared KV head appended
+    after the query heads — transposed, that is exactly the fused column
+    layout (reference remap ``flash_attn/models/bigcode.py:110-129``)."""
+    def g(name):
+        return jnp.asarray(sd[name]).astype(dtype)
+
+    L = cfg.num_layers
+    stack = lambda fmt, tr=False: jnp.stack(  # noqa: E731
+        [g(fmt.format(i)).T if tr else g(fmt.format(i)) for i in range(L)]
+    )
+    return {
+        "wte": g("transformer.wte.weight"),
+        "wpe": g("transformer.wpe.weight"),
+        "layers": {
+            "ln1_w": stack("transformer.h.{}.ln_1.weight"),
+            "ln1_b": stack("transformer.h.{}.ln_1.bias"),
+            "ln2_w": stack("transformer.h.{}.ln_2.weight"),
+            "ln2_b": stack("transformer.h.{}.ln_2.bias"),
+            "w_qkv": stack("transformer.h.{}.attn.c_attn.weight", tr=True),
+            "b_qkv": stack("transformer.h.{}.attn.c_attn.bias"),
+            "w_out": stack("transformer.h.{}.attn.c_proj.weight", tr=True),
+            "b_out": stack("transformer.h.{}.attn.c_proj.bias"),
+            "w_fc": stack("transformer.h.{}.mlp.c_fc.weight", tr=True),
+            "b_fc": stack("transformer.h.{}.mlp.c_fc.bias"),
+            "w_proj": stack("transformer.h.{}.mlp.c_proj.weight", tr=True),
+            "b_proj": stack("transformer.h.{}.mlp.c_proj.bias"),
+        },
+        "lnf_w": g("transformer.ln_f.weight"),
+        "lnf_b": g("transformer.ln_f.bias"),
+    }
+
+
 def _dot(x, w):
     if isinstance(w, QTensor):
         return qdot(x, w)
@@ -133,26 +264,32 @@ def gpt2_forward(
 ) -> jax.Array:
     """``tokens [B, S] -> logits [B, S, V]`` (training/eval forward)."""
     B, S = tokens.shape
-    D, H, Dh = cfg.hidden_size, cfg.num_heads, cfg.head_dim
-    pos = jnp.arange(S)
+    D, H, Hk, Dh = cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    pos = jnp.arange(S) + cfg.pos_offset
     x = (
         jnp.take(params["wte"], tokens, axis=0)
         + jnp.take(params["wpe"], pos, axis=0)[None]
     ).astype(compute_dtype)
 
+    def act(h):
+        h32 = h.astype(jnp.float32)
+        if cfg.activation == "relu":
+            return jax.nn.relu(h32).astype(h.dtype)
+        return jax.nn.gelu(h32, approximate=True).astype(h.dtype)
+
     def body(x, lp):
         h = layernorm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
         qkv = _dot(h, lp["w_qkv"]) + lp["b_qkv"].astype(x.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = jnp.split(qkv, [D, D + cfg.kv_dim], axis=-1)
         q = q.reshape(B, S, H, Dh)
-        k = k.reshape(B, S, H, Dh)
-        v = v.reshape(B, S, H, Dh)
+        k = k.reshape(B, S, Hk, Dh)
+        v = v.reshape(B, S, Hk, Dh)
         a = attention(q, k, v, causal=True, impl=attn_impl)
         x = x + _dot(a.reshape(B, S, D), lp["w_out"]) + lp["b_out"].astype(x.dtype)
 
         h = layernorm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
         h = _dot(h, lp["w_fc"]) + lp["b_fc"].astype(x.dtype)
-        h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
+        h = act(h)
         x = x + _dot(h, lp["w_proj"]) + lp["b_proj"].astype(x.dtype)
         return x, None
 

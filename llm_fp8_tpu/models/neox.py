@@ -1,10 +1,11 @@
-"""Parallel-residual decoder family: GPT-NeoX / Pythia and Falcon.
+"""Parallel-residual decoder family: GPT-NeoX / Pythia, Falcon and GPT-J.
 
-The reference folds both architectures onto its GPT block via config flags
+The reference folds these architectures onto its GPT block via config flags
 (``flash_attn/models/gpt_neox.py:103-124`` sets ``parallel_block`` +
 ``rotary_emb_fraction``; ``flash_attn/models/falcon.py:102-143`` adds
-``parallel_block_tied_norm`` + multi-query). This module is the TPU-native
-equivalent: one scan-compiled block whose config covers
+``parallel_block_tied_norm`` + multi-query; ``gptj.py:47-79`` adds the
+interleaved rotary + single-LN parallel block). This module is the
+TPU-native equivalent: one scan-compiled block whose config covers
 
   * parallel residual   — ``x + attn(ln1(x)) + mlp(ln2(x))`` in one step
     (NeoX ``use_parallel_residual``), vs the sequential pre-LN block;
@@ -14,7 +15,11 @@ equivalent: one scan-compiled block whose config covers
     dims (``rotary_emb_fraction``); Falcon rotates all of them;
   * multi-query / GQA   — Falcon's single shared KV head
     (``num_kv_heads=1``), broadcast in the attention op;
-  * biasless linears    — Falcon sets ``bias=False`` everywhere.
+  * biasless linears    — Falcon sets ``bias=False`` everywhere; GPT-J
+    drops bias from the attention projections only and adds one to the
+    LM head;
+  * rotary convention   — NeoX/Falcon rotate-half vs GPT-J's interleaved
+    (even, odd) pairing (``rope_interleaved``).
 
 Same functional conventions as the rest of the zoo (``models/llama.py``,
 ``models/gpt2.py``): stacked layer params, ``lax.scan`` forward, weights
@@ -35,7 +40,7 @@ from llm_fp8_tpu.quant import QTensor, qdot
 
 __all__ = [
     "NeoXConfig", "NEOX_REGISTRY", "init_neox_params", "neox_forward",
-    "pack_neox_state_dict", "pack_falcon_state_dict",
+    "pack_neox_state_dict", "pack_falcon_state_dict", "pack_gptj_state_dict",
 ]
 
 
@@ -51,10 +56,22 @@ class NeoXConfig:
     rotary_pct: float = 0.25  # fraction of head_dim rotated (Falcon: 1.0)
     rotary_base: float = 10000.0
     parallel_residual: bool = True
-    tied_norm: bool = False  # Falcon-7B: one LN feeds both branches
+    tied_norm: bool = False  # Falcon-7B / GPT-J: one LN feeds both branches
     use_bias: bool = True  # Falcon: False
+    # GPT-J: biasless attention projections but biased MLP. -1 = follow
+    # use_bias; 0/1 override for the attention projections only.
+    attn_bias: int = -1
+    # GPT-J applies rotary with interleaved (even, odd) pairing instead of
+    # the NeoX/Llama rotate-half split (HF ``GPTJAttention.rotary_dim``).
+    rope_interleaved: bool = False
+    lm_head_bias: bool = False  # GPT-J's lm_head has a bias
+    gelu_approximate: bool = False  # GPT-J: gelu_new (tanh approximation)
     ln_eps: float = 1e-5
     tie_word_embeddings: bool = False
+
+    @property
+    def attn_has_bias(self) -> bool:
+        return self.use_bias if self.attn_bias < 0 else bool(self.attn_bias)
 
     def __post_init__(self):
         if self.num_kv_heads < 0:
@@ -99,6 +116,21 @@ NEOX_REGISTRY = {
                                  hidden_size=128, intermediate_size=512,
                                  num_layers=2, num_heads=4,
                                  parallel_residual=False),
+    # GPT-J-6B: parallel residual with ONE shared ln_1, interleaved rotary
+    # over the first 64 of 256 head dims, biasless attention, biased MLP
+    # and lm_head (flash_attn/models/gptj.py:47-79).
+    "gptj-6b": NeoXConfig(name="gptj-6b", vocab_size=50400,
+                          hidden_size=4096, intermediate_size=16384,
+                          num_layers=28, num_heads=16, rotary_pct=0.25,
+                          parallel_residual=True, tied_norm=True,
+                          attn_bias=0, rope_interleaved=True,
+                          lm_head_bias=True, gelu_approximate=True),
+    "debug-gptj": NeoXConfig(name="debug-gptj", vocab_size=512,
+                             hidden_size=128, intermediate_size=512,
+                             num_layers=2, num_heads=4, rotary_pct=0.25,
+                             tied_norm=True, attn_bias=0,
+                             rope_interleaved=True, lm_head_bias=True,
+                             gelu_approximate=True),
 }
 
 
@@ -120,9 +152,10 @@ def init_neox_params(cfg: NeoXConfig, key: jax.Array, dtype=jnp.float32):
     if not cfg.tied_norm:
         layers["ln2_w"] = jnp.ones((L, D), dtype)
         layers["ln2_b"] = jnp.zeros((L, D), dtype)
-    if cfg.use_bias:
+    if cfg.attn_has_bias:
         layers["b_qkv"] = jnp.zeros((L, qkv_out), dtype)
         layers["b_out"] = jnp.zeros((L, D), dtype)
+    if cfg.use_bias:
         layers["b_fc"] = jnp.zeros((L, I), dtype)
         layers["b_proj"] = jnp.zeros((L, D), dtype)
     params = {
@@ -133,6 +166,8 @@ def init_neox_params(cfg: NeoXConfig, key: jax.Array, dtype=jnp.float32):
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(next(k), (cfg.vocab_size, D))
+    if cfg.lm_head_bias:
+        params["lm_head_b"] = jnp.zeros((cfg.vocab_size,), dtype)
     return params
 
 
@@ -221,6 +256,45 @@ def pack_falcon_state_dict(sd: Dict[str, jax.Array], cfg: NeoXConfig,
     }
 
 
+def pack_gptj_state_dict(sd: Dict[str, jax.Array], cfg: NeoXConfig,
+                         dtype=jnp.float32):
+    """HF ``GPTJForCausalLM`` state dict → stacked params. Separate
+    q/k/v projections concatenate to our fused ``[D, 3*H*Dh]`` column
+    layout; Linear weights ``[out, in]`` transpose."""
+    def g(name):
+        return jnp.asarray(sd[name]).astype(dtype)
+
+    L = cfg.num_layers
+
+    def qkv_w(i):
+        p = f"transformer.h.{i}.attn."
+        return jnp.concatenate(
+            [g(p + "q_proj.weight").T, g(p + "k_proj.weight").T,
+             g(p + "v_proj.weight").T], axis=1,
+        )
+
+    stack = lambda fmt, tr=False: jnp.stack(  # noqa: E731
+        [g(fmt.format(i)).T if tr else g(fmt.format(i)) for i in range(L)]
+    )
+    return {
+        "wte": g("transformer.wte.weight"),
+        "layers": {
+            "ln1_w": stack("transformer.h.{}.ln_1.weight"),
+            "ln1_b": stack("transformer.h.{}.ln_1.bias"),
+            "w_qkv": jnp.stack([qkv_w(i) for i in range(L)]),
+            "w_out": stack("transformer.h.{}.attn.out_proj.weight", tr=True),
+            "w_fc": stack("transformer.h.{}.mlp.fc_in.weight", tr=True),
+            "b_fc": stack("transformer.h.{}.mlp.fc_in.bias"),
+            "w_proj": stack("transformer.h.{}.mlp.fc_out.weight", tr=True),
+            "b_proj": stack("transformer.h.{}.mlp.fc_out.bias"),
+        },
+        "lnf_w": g("transformer.ln_f.weight"),
+        "lnf_b": g("transformer.ln_f.bias"),
+        "lm_head": g("lm_head.weight"),
+        "lm_head_b": g("lm_head.bias"),
+    }
+
+
 def _dot(x, w):
     if isinstance(w, QTensor):
         return qdot(x, w)
@@ -229,12 +303,26 @@ def _dot(x, w):
     ).astype(x.dtype)
 
 
-def _partial_rope(x, cos, sin, rotary_dim):
+def _rope_gptj(x, cos, sin):
+    """GPT-J rotary: interleaved (even, odd) pairing within each head dim
+    (HF ``GPTJAttention.apply_rotary_pos_emb`` with ``rotate_every_two``)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    x1, x2 = x32[..., ::2], x32[..., 1::2]
+    c = jnp.expand_dims(cos, -2)  # broadcast over heads
+    s = jnp.expand_dims(sin, -2)
+    even = x1 * c - x2 * s
+    odd = x2 * c + x1 * s
+    return jnp.stack([even, odd], axis=-1).reshape(x.shape).astype(dtype)
+
+
+def _partial_rope(x, cos, sin, rotary_dim, interleaved=False):
     """Rotate the first ``rotary_dim`` dims of each head, pass the rest."""
+    rope = _rope_gptj if interleaved else apply_rope
     if rotary_dim == x.shape[-1]:
-        return apply_rope(x, cos, sin)
+        return rope(x, cos, sin)
     rot, keep = x[..., :rotary_dim], x[..., rotary_dim:]
-    return jnp.concatenate([apply_rope(rot, cos, sin), keep], axis=-1)
+    return jnp.concatenate([rope(rot, cos, sin), keep], axis=-1)
 
 
 def neox_forward(
@@ -264,16 +352,16 @@ def neox_forward(
         q = q.reshape(B, S, Hq, Dh)
         k = k.reshape(B, S, Hk, Dh)
         v = v.reshape(B, S, Hk, Dh)
-        q = _partial_rope(q, cos, sin, cfg.rotary_dim)
-        k = _partial_rope(k, cos, sin, cfg.rotary_dim)
+        q = _partial_rope(q, cos, sin, cfg.rotary_dim, cfg.rope_interleaved)
+        k = _partial_rope(k, cos, sin, cfg.rotary_dim, cfg.rope_interleaved)
         a = attention(q, k, v, causal=True, impl=attn_impl)
         return _dot(a.reshape(B, S, Hq * Dh), lp["w_out"]) + bias(lp, "b_out", h)
 
     def mlp_branch(h, lp):
         h = _dot(h, lp["w_fc"]) + bias(lp, "b_fc", h)
-        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(
-            compute_dtype
-        )
+        h = jax.nn.gelu(
+            h.astype(jnp.float32), approximate=cfg.gelu_approximate
+        ).astype(compute_dtype)
         return _dot(h, lp["w_proj"]) + bias(lp, "b_proj", h)
 
     def body(x, lp):
@@ -292,6 +380,9 @@ def neox_forward(
     x, _ = jax.lax.scan(body, x, params["layers"])
     x = layernorm(x, params["lnf_w"], params["lnf_b"], cfg.ln_eps)
     head = params["wte"] if cfg.tie_word_embeddings else params["lm_head"]
-    return jnp.dot(
+    logits = jnp.dot(
         x, head.T.astype(x.dtype), preferred_element_type=jnp.float32
     ).astype(jnp.float32)
+    if "lm_head_b" in params:
+        logits = logits + params["lm_head_b"].astype(jnp.float32)
+    return logits

@@ -49,3 +49,66 @@ def test_random_init_runs():
 def test_registry_sizes():
     assert GPT2_REGISTRY["gpt2-xl"].hidden_size == 1600
     assert GPT2_REGISTRY["gpt2"].intermediate_size == 3072
+
+
+def test_opt_hf_parity():
+    """OPT folds onto the GPT-2 block: ReLU MLP + offset-2 positions
+    (reference remap flash_attn/models/opt.py:79-94)."""
+    import torch
+    from transformers import OPTConfig, OPTForCausalLM
+    from llm_fp8_tpu.models.gpt2 import pack_opt_state_dict
+
+    cfg = GPT2_REGISTRY["debug-opt"]
+    torch.manual_seed(3)
+    hf_cfg = OPTConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        ffn_dim=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        activation_function="relu",
+        do_layer_norm_before=True,
+        word_embed_proj_dim=cfg.hidden_size,
+        dropout=0.0, attention_dropout=0.0,
+        layerdrop=0.0,
+    )
+    model = OPTForCausalLM(hf_cfg).eval()
+    sd = {k: jnp.asarray(v.numpy()) for k, v in model.state_dict().items()}
+    params = pack_opt_state_dict(sd, cfg)
+    tokens = np.arange(24, dtype=np.int32).reshape(2, 12) % cfg.vocab_size
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens).long()).logits.numpy()
+    got = gpt2_forward(params, jnp.asarray(tokens), cfg, attn_impl="ref")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_bigcode_hf_parity():
+    """BigCode/SantaCoder: GPT-2 block with multi-query KV
+    (reference remap flash_attn/models/bigcode.py:110-129)."""
+    import torch
+    from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+    from llm_fp8_tpu.models.gpt2 import pack_bigcode_state_dict
+
+    cfg = GPT2_REGISTRY["debug-bigcode"]
+    torch.manual_seed(4)
+    hf_cfg = GPTBigCodeConfig(
+        vocab_size=cfg.vocab_size,
+        n_positions=cfg.max_position_embeddings,
+        n_embd=cfg.hidden_size,
+        n_layer=cfg.num_layers,
+        n_head=cfg.num_heads,
+        multi_query=True,
+        activation_function="gelu_pytorch_tanh",
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        layer_norm_epsilon=cfg.ln_eps,
+    )
+    model = GPTBigCodeForCausalLM(hf_cfg).eval()
+    sd = {k: jnp.asarray(v.float().numpy())
+          for k, v in model.state_dict().items()}
+    params = pack_bigcode_state_dict(sd, cfg)
+    tokens = np.arange(24, dtype=np.int32).reshape(2, 12) % cfg.vocab_size
+    with torch.no_grad():
+        want = model(torch.from_numpy(tokens).long()).logits.numpy()
+    got = gpt2_forward(params, jnp.asarray(tokens), cfg, attn_impl="ref")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)

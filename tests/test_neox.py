@@ -13,6 +13,7 @@ from llm_fp8_tpu.models.neox import (
     neox_forward,
     pack_neox_state_dict,
     pack_falcon_state_dict,
+    pack_gptj_state_dict,
 )
 
 TOKENS = np.arange(24, dtype=np.int32).reshape(2, 12) % 512
@@ -79,6 +80,34 @@ def test_falcon_hf_parity():
     model = FalconForCausalLM(hf_cfg).eval()
     sd = {k: jnp.asarray(v.numpy()) for k, v in model.state_dict().items()}
     params = pack_falcon_state_dict(sd, cfg)
+    with torch.no_grad():
+        want = model(torch.from_numpy(TOKENS).long()).logits.numpy()
+    got = neox_forward(params, jnp.asarray(TOKENS), cfg, attn_impl="ref")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_gptj_hf_parity():
+    import torch
+    from transformers import GPTJConfig, GPTJForCausalLM
+
+    cfg = NEOX_REGISTRY["debug-gptj"]
+    torch.manual_seed(2)
+    hf_cfg = GPTJConfig(
+        vocab_size=cfg.vocab_size,
+        n_embd=cfg.hidden_size,
+        n_inner=cfg.intermediate_size,
+        n_layer=cfg.num_layers,
+        n_head=cfg.num_heads,
+        rotary_dim=cfg.rotary_dim,
+        n_positions=64,
+        layer_norm_epsilon=cfg.ln_eps,
+        activation_function="gelu_new",
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+        tie_word_embeddings=False,
+    )
+    model = GPTJForCausalLM(hf_cfg).eval()
+    sd = {k: jnp.asarray(v.numpy()) for k, v in model.state_dict().items()}
+    params = pack_gptj_state_dict(sd, cfg)
     with torch.no_grad():
         want = model(torch.from_numpy(TOKENS).long()).logits.numpy()
     got = neox_forward(params, jnp.asarray(TOKENS), cfg, attn_impl="ref")
