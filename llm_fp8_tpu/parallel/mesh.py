@@ -9,6 +9,10 @@ slice, axes ``(dp, fsdp, tp)``:
                Put the DCN (multi-host) dimension here.
   * ``fsdp`` — parameter-sharded data parallel (reference: FSDP FULL_SHARD /
                ZeRO, ``train_multi_gpu.py:381-460``).
+  * ``pp``   — pipeline parallel: the *layer* dimension, GPipe microbatch
+               schedule over a ``ppermute`` chain (``parallel/pipeline.py``).
+               The reference declares PP in its roadmap but never implements
+               it; here it is a working, differentiable schedule.
   * ``cp``   — context parallel: the *sequence* dimension ring for long-
                context training (``parallel/ring_attention.py``). Beyond the
                reference, whose levers stop at sliding windows. Size 1 by
@@ -33,11 +37,13 @@ import numpy as np
 from jax.sharding import Mesh
 
 __all__ = [
-    "MeshConfig", "make_mesh", "AXIS_DP", "AXIS_FSDP", "AXIS_CP", "AXIS_TP",
+    "MeshConfig", "make_mesh",
+    "AXIS_DP", "AXIS_FSDP", "AXIS_PP", "AXIS_CP", "AXIS_TP",
 ]
 
 AXIS_DP = "dp"
 AXIS_FSDP = "fsdp"
+AXIS_PP = "pp"
 AXIS_CP = "cp"
 AXIS_TP = "tp"
 
@@ -50,19 +56,21 @@ class MeshConfig:
 
     dp: int = 1
     fsdp: int = -1  # -1: absorb remaining devices
+    pp: int = 1
     cp: int = 1
     tp: int = 1
 
     def resolve(self, n_devices: int) -> "MeshConfig":
-        dp, fsdp, cp, tp = self.dp, self.fsdp, self.cp, self.tp
+        dp, fsdp, pp, cp, tp = self.dp, self.fsdp, self.pp, self.cp, self.tp
         if fsdp == -1:
-            assert n_devices % (dp * cp * tp) == 0, (n_devices, dp, cp, tp)
-            fsdp = n_devices // (dp * cp * tp)
-        if dp * fsdp * cp * tp != n_devices:
+            rest = dp * pp * cp * tp
+            assert n_devices % rest == 0, (n_devices, dp, pp, cp, tp)
+            fsdp = n_devices // rest
+        if dp * fsdp * pp * cp * tp != n_devices:
             raise ValueError(
-                f"mesh {dp}x{fsdp}x{cp}x{tp} != {n_devices} devices"
+                f"mesh {dp}x{fsdp}x{pp}x{cp}x{tp} != {n_devices} devices"
             )
-        return MeshConfig(dp=dp, fsdp=fsdp, cp=cp, tp=tp)
+        return MeshConfig(dp=dp, fsdp=fsdp, pp=pp, cp=cp, tp=tp)
 
 
 def make_mesh(
@@ -71,5 +79,7 @@ def make_mesh(
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     cfg = config.resolve(len(devices))
-    arr = np.asarray(devices).reshape(cfg.dp, cfg.fsdp, cfg.cp, cfg.tp)
-    return Mesh(arr, (AXIS_DP, AXIS_FSDP, AXIS_CP, AXIS_TP))
+    arr = np.asarray(devices).reshape(
+        cfg.dp, cfg.fsdp, cfg.pp, cfg.cp, cfg.tp
+    )
+    return Mesh(arr, (AXIS_DP, AXIS_FSDP, AXIS_PP, AXIS_CP, AXIS_TP))
