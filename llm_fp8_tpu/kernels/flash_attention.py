@@ -41,6 +41,7 @@ def _fwd_kernel(
     q_offset_ref,  # [B] absolute position of q row 0, per batch
     kv_lens_ref,  # [B] valid KV length per batch
     seed_ref,  # [1] dropout seed (ignored when dropout_rate == 0)
+    alibi_ref,  # [B, Hq] f32 per-head alibi slopes ([1, 1] dummy if unused)
     # blocked inputs
     q_ref,  # [1, 1, bq, D]
     k_ref,  # [1, 1, D, bk] — K stored contraction-major (Mosaic bf16 matmul
@@ -66,6 +67,7 @@ def _fwd_kernel(
     block_k: int,
     num_k_tiles: int,
     has_segments: bool,
+    has_alibi: bool = False,
     dropout_rate: float = 0.0,
 ):
     b = pl.program_id(0)
@@ -110,6 +112,16 @@ def _fwd_kernel(
         k_pos = k_min + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
+        if has_alibi:
+            # ALiBi positional bias, -slope * |q_pos - k_pos|: matches the
+            # reference's causal form (slope * col, csrc/flash_attn/src/
+            # alibi.h:40-49) up to a per-row constant the softmax cancels,
+            # and its non-causal |row + sk - sq - col| form exactly when the
+            # caller aligns ends via q_offset (tests/test_flash_attn.py:29-55).
+            # Applied after softcap: the cap bounds QK scores; the positional
+            # bias stays uncapped so long-range decay is preserved.
+            slope = alibi_ref[b, h]
+            s = s - slope * jnp.abs(q_pos - k_pos).astype(jnp.float32)
         mask = k_pos < kv_len
         if causal:
             mask &= k_pos <= q_pos
@@ -172,7 +184,7 @@ from ._common import dropout_keep_mask, pad_to_multiple as _pad_to  # noqa: E402
 
 def _flash_fwd_call(
     q, k, v, q_offset, kv_lens, q_segment_ids=None, kv_segment_ids=None,
-    seed=None,
+    seed=None, alibi=None,
     *, causal, window, softcap, scale, block_q, block_k, interpret,
     dropout_rate=0.0,
 ):
@@ -216,6 +228,11 @@ def _flash_fwd_call(
 
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
+    has_alibi = alibi is not None
+    alibi_arr = (
+        alibi.astype(jnp.float32) if has_alibi
+        else jnp.zeros((1, 1), jnp.float32)
+    )
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -227,13 +244,14 @@ def _flash_fwd_call(
         block_k=block_k,
         num_k_tiles=num_k_tiles,
         has_segments=has_segments,
+        has_alibi=has_alibi,
         dropout_rate=dropout_rate,
     )
 
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             # Index maps receive the scalar-prefetch refs as trailing args.
             in_specs=[
@@ -273,7 +291,7 @@ def _flash_fwd_call(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_offset, kv_lens, seed, qt, kt, vt, qs8, ks8)
+    )(q_offset, kv_lens, seed, alibi_arr, qt, kt, vt, qs8, ks8)
 
     return out[:, :, :Sq].transpose(0, 2, 1, 3), lse
 
@@ -301,19 +319,21 @@ class _FlashCfg:
         return {s: getattr(self, s) for s in self.__slots__}
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def _flash(q, k, v, q_offset, kv_lens, qseg, kseg, seed, cfg: _FlashCfg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _flash(q, k, v, q_offset, kv_lens, qseg, kseg, seed, alibi,
+           cfg: _FlashCfg):
     cfg_d = cfg.asdict()
     out, _ = _flash_fwd_call(q, k, v, q_offset, kv_lens, qseg, kseg, seed,
-                             **cfg_d)
+                             alibi, **cfg_d)
     return out
 
 
-def _flash_fwd_rule(q, k, v, q_offset, kv_lens, qseg, kseg, seed,
+def _flash_fwd_rule(q, k, v, q_offset, kv_lens, qseg, kseg, seed, alibi,
                     cfg: _FlashCfg):
     out, lse = _flash_fwd_call(q, k, v, q_offset, kv_lens, qseg, kseg, seed,
-                               **cfg.asdict())
-    return out, (q, k, v, out, lse, q_offset, kv_lens, qseg, kseg, seed)
+                               alibi, **cfg.asdict())
+    return out, (q, k, v, out, lse, q_offset, kv_lens, qseg, kseg, seed,
+                 alibi)
 
 
 def _flash_bwd_rule(cfg: _FlashCfg, res, do):
@@ -321,20 +341,21 @@ def _flash_bwd_rule(cfg: _FlashCfg, res, do):
 
     from .flash_attention_bwd import flash_attention_bwd
 
-    q, k, v, out, lse, q_offset, kv_lens, qseg, kseg, seed = res
+    q, k, v, out, lse, q_offset, kv_lens, qseg, kseg, seed, alibi = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, out, lse, do,
         causal=cfg.causal, window=cfg.window, softcap=cfg.softcap,
         scale=cfg.scale, q_offset=q_offset, kv_lens=kv_lens,
         q_segment_ids=qseg, kv_segment_ids=kseg,
-        dropout_rate=cfg.dropout_rate, seed=seed,
+        dropout_rate=cfg.dropout_rate, seed=seed, alibi=alibi,
         block_q=cfg.block_q, block_k=cfg.block_k, interpret=cfg.interpret,
     )
     zero_int = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
     return (dq, dk, dv, zero_int(q_offset), zero_int(kv_lens),
             (zero_int(qseg) if qseg is not None else None),
             (zero_int(kseg) if kseg is not None else None),
-            zero_int(seed))
+            zero_int(seed),
+            (jnp.zeros_like(alibi) if alibi is not None else None))
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -353,6 +374,7 @@ def flash_attention(
     kv_lens: Optional[jax.Array] = None,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
+    alibi_slopes: Optional[jax.Array] = None,
     dropout_p: float = 0.0,
     dropout_seed: int | jax.Array = 0,
     deterministic: bool = True,
@@ -375,6 +397,12 @@ def flash_attention(
     in the backward (the reference's saved-Philox-state idiom,
     ``csrc/flash_attn/src/dropout.h``). Vary ``dropout_seed`` per step.
 
+    ``alibi_slopes`` ([Hq] or [B, Hq] f32): ALiBi positional bias
+    ``-slope * |q_pos - k_pos|`` per head — the semantics of
+    ``flash_attn_func(alibi_slopes=...)``
+    (``csrc/flash_attn/src/alibi.h``); differentiable (slopes receive zero
+    gradient, matching the reference's non-trainable slopes).
+
     ``deterministic``: accepted for API parity with
     ``flash_attn_func(deterministic=...)`` — the TPU backward is *always*
     deterministic (gradients accumulate in per-tile VMEM scratch over a
@@ -393,6 +421,11 @@ def flash_attention(
         kv_lens = jnp.full((B,), Sk, jnp.int32)
     q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
     seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
+    if alibi_slopes is not None:
+        alibi_slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if alibi_slopes.ndim == 1:
+            alibi_slopes = jnp.broadcast_to(alibi_slopes[None, :], (B, Hq))
+        assert alibi_slopes.shape == (B, Hq), alibi_slopes.shape
     cfg = _FlashCfg(
         causal=causal, window=window, softcap=softcap,
         scale=scale if scale is not None else D ** -0.5,
@@ -400,4 +433,4 @@ def flash_attention(
         dropout_rate=float(dropout_p),
     )
     return _flash(q, k, v, q_offset, kv_lens, q_segment_ids, kv_segment_ids,
-                  seed, cfg)
+                  seed, alibi_slopes, cfg)

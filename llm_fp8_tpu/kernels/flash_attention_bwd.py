@@ -33,7 +33,7 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 def _recompute_p_and_ds(
     q, kT, vT, do, lse, di, *, scale, causal, window, softcap,
     q_off, kv_len, qi, ki, block_q, block_k, seg_q=None, seg_k=None,
-    dropout_rate=0.0, seed=0, bh=0,
+    dropout_rate=0.0, seed=0, bh=0, alibi_slope=None,
 ):
     """Shared tile math, f32. Returns ``(p_v, ds)``: ``p_v`` is the softmax
     weight actually applied to V in the forward (dropout mask + 1/(1-r)
@@ -51,6 +51,13 @@ def _recompute_p_and_ds(
     k_pos = ki * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 1
     )
+    if alibi_slope is not None:
+        # Same post-softcap ALiBi bias as the forward; additive in the score,
+        # so the ds chain is unchanged (the tanh derivative below reads the
+        # un-biased capped z, applying only to the capped QK part).
+        z_b = z - alibi_slope * jnp.abs(q_pos - k_pos).astype(jnp.float32)
+    else:
+        z_b = z
     mask = k_pos < kv_len
     if causal:
         mask &= k_pos <= q_pos
@@ -62,7 +69,7 @@ def _recompute_p_and_ds(
     # guard the exp so they produce 0, not NaN.
     lse_col = lse[:, None]
     p = jnp.where(
-        mask & jnp.isfinite(lse_col), jnp.exp(z - jnp.where(
+        mask & jnp.isfinite(lse_col), jnp.exp(z_b - jnp.where(
             jnp.isfinite(lse_col), lse_col, 0.0)), 0.0
     )
     dp = jax.lax.dot(do, vT, preferred_element_type=jnp.float32)
@@ -83,13 +90,13 @@ def _recompute_p_and_ds(
 
 
 def _dkv_kernel(
-    q_offset_ref, kv_lens_ref, seed_ref,
+    q_offset_ref, kv_lens_ref, seed_ref, alibi_ref,
     q_ref, kT_ref, v_ref, vT_ref, do_ref, lse_ref, di_ref,
     qseg_ref, kseg_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale, causal, window, softcap, block_q, block_k, num_q_tiles,
-    has_segments, dropout_rate,
+    has_segments, has_alibi, dropout_rate,
 ):
     b, h = pl.program_id(0), pl.program_id(1)
     ki, qi = pl.program_id(2), pl.program_id(3)
@@ -121,6 +128,7 @@ def _dkv_kernel(
             seg_k=kseg_ref[0, 0] if has_segments else None,
             dropout_rate=dropout_rate, seed=seed_ref[0],
             bh=b * pl.num_programs(1) + h,
+            alibi_slope=alibi_ref[b, h] if has_alibi else None,
         )
         dtype = q.dtype
         dv_acc[...] += jax.lax.dot(
@@ -137,13 +145,13 @@ def _dkv_kernel(
 
 
 def _dq_kernel(
-    q_offset_ref, kv_lens_ref, seed_ref,
+    q_offset_ref, kv_lens_ref, seed_ref, alibi_ref,
     q_ref, kT_ref, k_ref, vT_ref, do_ref, lse_ref, di_ref,
     qseg_ref, kseg_ref,
     dq_ref,
     dq_acc,
     *, scale, causal, window, softcap, block_q, block_k, num_k_tiles,
-    has_segments, dropout_rate,
+    has_segments, has_alibi, dropout_rate,
 ):
     b, h = pl.program_id(0), pl.program_id(1)
     qi, ki = pl.program_id(2), pl.program_id(3)
@@ -177,6 +185,7 @@ def _dq_kernel(
             seg_k=kseg_ref[0, 0] if has_segments else None,
             dropout_rate=dropout_rate, seed=seed_ref[0],
             bh=b * pl.num_programs(1) + h,
+            alibi_slope=alibi_ref[b, h] if has_alibi else None,
         )
         dq_acc[...] += jax.lax.dot(
             ds.astype(q.dtype), k_ref[0, 0], preferred_element_type=jnp.float32
@@ -203,6 +212,7 @@ def flash_attention_bwd(
     kv_segment_ids=None,
     dropout_rate: float = 0.0,
     seed=None,  # [1] int32 dropout seed
+    alibi=None,  # [B, Hq] f32 per-head alibi slopes or None
 ):
     """dq, dk, dv for bshd flash attention.
 
@@ -260,16 +270,22 @@ def flash_attention_bwd(
 
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
+    has_alibi = alibi is not None
+    alibi_arr = (
+        alibi.astype(jnp.float32) if has_alibi
+        else jnp.zeros((1, 1), jnp.float32)
+    )
 
     common = dict(scale=scale, causal=causal, window=window, softcap=softcap,
                   block_q=block_q, block_k=block_k,
-                  has_segments=has_segments, dropout_rate=dropout_rate)
+                  has_segments=has_segments, has_alibi=has_alibi,
+                  dropout_rate=dropout_rate)
 
     # ---- dK/dV (per q-head, grid: b, h, ki, qi-inner) ----
     dkv = pl.pallas_call(
         functools.partial(_dkv_kernel, num_q_tiles=nq, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(B, Hq, nk, nq),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D),
@@ -308,14 +324,15 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_offset, kv_lens, seed, qt, kT, vt, vT, dot_, lse, di, qs8, ks8)
+    )(q_offset, kv_lens, seed, alibi_arr, qt, kT, vt, vT, dot_, lse, di,
+      qs8, ks8)
     dk_per_q, dv_per_q = dkv
 
     # ---- dQ (grid: b, h, qi, ki-inner) ----
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, num_k_tiles=nk, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(B, Hq, nq, nk),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, D),
@@ -344,7 +361,8 @@ def flash_attention_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_offset, kv_lens, seed, qt, kT, kt, vT, dot_, lse, di, qs8, ks8)
+    )(q_offset, kv_lens, seed, alibi_arr, qt, kT, kt, vT, dot_, lse, di,
+      qs8, ks8)
 
     dq_out = dq[:, :, :Sq].transpose(0, 2, 1, 3)
     # GQA: fold per-q-head dk/dv over the group.

@@ -18,7 +18,30 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["attention_ref", "attention"]
+__all__ = ["attention_ref", "attention", "default_alibi_slopes"]
+
+
+def default_alibi_slopes(nheads: int) -> jax.Array:
+    """Standard ALiBi slope schedule (Press et al.): head i of n gets
+    ``2^(-8(i+1)/n)`` for power-of-two n, with the published interleaving
+    rule for non-power-of-two head counts. Matches the slopes HF/Baichuan/
+    BTLM-style alibi models bake in.
+    """
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(nheads).is_integer():
+        slopes = pow2_slopes(nheads)
+    else:
+        closest = 2 ** math.floor(math.log2(nheads))
+        slopes = (
+            pow2_slopes(closest)
+            + pow2_slopes(2 * closest)[0::2][: nheads - closest]
+        )
+    return jnp.asarray(slopes, jnp.float32)
 
 
 def _build_mask(
@@ -76,6 +99,7 @@ def attention_ref(
     kv_lens: Optional[jax.Array] = None,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
+    alibi_slopes: Optional[jax.Array] = None,
     dropout_p: float = 0.0,
     dropout_seed: int | jax.Array = 0,
 ) -> jax.Array:
@@ -103,6 +127,22 @@ def attention_ref(
     logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
     if softcap is not None:
         logits = softcap * jnp.tanh(logits / softcap)
+    if alibi_slopes is not None:
+        # -slope * |q_pos - k_pos|, the reference's alibi bias
+        # (tests/test_flash_attn.py:29-55) with absolute positions.
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if slopes.ndim == 1:
+            slopes = jnp.broadcast_to(slopes[None, :], (B, Hq))
+        q_off = jnp.asarray(q_offset, jnp.int32)
+        if q_off.ndim == 0:
+            q_off = jnp.broadcast_to(q_off, (B,))
+        q_pos = q_off[:, None] + jnp.arange(Sq, dtype=jnp.int32)[None, :]
+        dist = jnp.abs(
+            q_pos[:, :, None] - jnp.arange(Sk, dtype=jnp.int32)[None, None, :]
+        )  # [B, Sq, Sk]
+        logits = logits - (
+            slopes[:, :, None, None] * dist[:, None].astype(jnp.float32)
+        )
     mask = _build_mask(Sq, Sk, causal, window, q_offset, kv_lens, B,
                        q_segment_ids, kv_segment_ids)
     logits = jnp.where(mask, logits, -jnp.inf)
@@ -144,6 +184,7 @@ def decode_attention(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     q_offset: int | jax.Array = 0,
+    alibi_slopes: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Single-token decode attention, GQA-grouped, XLA-fused.
 
@@ -169,6 +210,15 @@ def decode_attention(
         s = softcap * jnp.tanh(s / softcap)
     k_pos = jnp.arange(S, dtype=jnp.int32)
     q_pos = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if slopes.ndim == 1:
+            slopes = jnp.broadcast_to(slopes[None, :], (B, Hq))
+        dist = jnp.abs(q_pos[:, None] - k_pos[None, :])  # [B, S]
+        s = s - (
+            slopes.reshape(B, Hk, g)[:, :, :, None]
+            * dist[:, None, None, :].astype(jnp.float32)
+        )
     mask = k_pos[None, :] <= q_pos[:, None]  # causal vs absolute position
     if kv_lens is not None:
         mask &= k_pos[None, :] < kv_lens[:, None]
@@ -195,6 +245,7 @@ def attention(
     scale: Optional[float] = None,
     q_offset: int | jax.Array = 0,
     kv_lens: Optional[jax.Array] = None,
+    alibi_slopes: Optional[jax.Array] = None,
     dropout_p: float = 0.0,
     dropout_seed: int | jax.Array = 0,
     impl: str = "auto",
@@ -224,10 +275,10 @@ def attention(
         from llm_fp8_tpu.parallel.ring_attention import ring_attention
 
         if (window is not None or softcap is not None or dropout_p != 0.0
-                or kv_lens is not None):
+                or kv_lens is not None or alibi_slopes is not None):
             raise NotImplementedError(
                 "context parallelism supports dense causal/full attention "
-                "(no window/softcap/dropout/kv_lens)"
+                "(no window/softcap/dropout/alibi/kv_lens)"
             )
         assert cp_mesh is not None, "cp_axis requires cp_mesh"
         names = set(cp_mesh.axis_names)
@@ -263,7 +314,7 @@ def attention(
         assert dropout_p == 0.0, "decode fast path is inference-only"
         return decode_attention(
             q, k, v, scale=scale, kv_lens=kv_lens, window=window,
-            softcap=softcap, q_offset=q_offset,
+            softcap=softcap, q_offset=q_offset, alibi_slopes=alibi_slopes,
         )
     if impl == "flash":
         from llm_fp8_tpu.kernels.flash_attention import flash_attention
@@ -271,10 +322,12 @@ def attention(
         return flash_attention(
             q, k, v, causal=causal, window=window, softcap=softcap,
             scale=scale, q_offset=q_offset, kv_lens=kv_lens,
+            alibi_slopes=alibi_slopes,
             dropout_p=dropout_p, dropout_seed=dropout_seed,
         )
     return attention_ref(
         q, k, v, causal=causal, window=window, softcap=softcap,
         scale=scale, q_offset=q_offset, kv_lens=kv_lens,
+        alibi_slopes=alibi_slopes,
         dropout_p=dropout_p, dropout_seed=dropout_seed,
     )

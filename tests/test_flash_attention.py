@@ -85,6 +85,42 @@ class TestFlashForward:
         want = attention_ref(q, k, v, causal=True, softcap=30.0)
         assert_close(got, want, q.dtype)
 
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_alibi(self, causal):
+        # Per-head slopes, GQA; the reference idiom draws random slopes
+        # (tests/test_flash_attn.py:599).
+        B, Sq, Sk, Hq, Hk, D = 2, 256, 256, 4, 2, 64
+        q, k, v = make_qkv(8, B, Sq, Sk, Hq, Hk, D)
+        slopes = jax.random.uniform(jax.random.PRNGKey(99), (B, Hq)) * 0.3
+        got = flash_attention(q, k, v, causal=causal, alibi_slopes=slopes)
+        want = attention_ref(q, k, v, causal=causal, alibi_slopes=slopes)
+        assert_close(got, want, q.dtype)
+
+    def test_alibi_per_head_vector_and_decode_offset(self):
+        # [Hq]-shaped slopes broadcast over batch; q_offset aligns a decode
+        # step's single query row against the cache (multi-tile KV so the
+        # bias crosses tile boundaries).
+        from llm_fp8_tpu.ops.attention import (
+            decode_attention, default_alibi_slopes,
+        )
+
+        q, k, v = make_qkv(9, 2, 1, 384, 4, 4, 64)
+        slopes = default_alibi_slopes(4)
+        lens = jnp.array([384, 200], jnp.int32)
+        got = flash_attention(
+            q, k, v, causal=True, q_offset=lens - 1, kv_lens=lens,
+            alibi_slopes=slopes,
+        )
+        want = attention_ref(
+            q, k, v, causal=True, q_offset=lens - 1, kv_lens=lens,
+            alibi_slopes=slopes,
+        )
+        assert_close(got, want, q.dtype)
+        fast = decode_attention(
+            q, k, v, q_offset=lens - 1, kv_lens=lens, alibi_slopes=slopes
+        )
+        assert_close(fast, want, q.dtype)
+
     def test_bf16(self):
         q, k, v = make_qkv(6, 1, 256, 256, 4, 2, 64, jnp.bfloat16)
         got = flash_attention(q, k, v, causal=True)
@@ -141,6 +177,31 @@ class TestFlashForward:
             )
         # dk/dv beyond each sequence's kv_len are zero.
         assert np.allclose(np.asarray(gf[1])[0, 60:], 0.0)
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_backward_alibi(self, causal):
+        q, k, v = make_qkv(23, 2, 256, 256, 4, 2, 64)
+        slopes = jax.random.uniform(jax.random.PRNGKey(7), (2, 4)) * 0.3
+
+        def lf(q, k, v):
+            return jnp.sum(
+                flash_attention(q, k, v, causal=causal, alibi_slopes=slopes)
+                ** 2
+            )
+
+        def lr(q, k, v):
+            return jnp.sum(
+                attention_ref(q, k, v, causal=causal, alibi_slopes=slopes)
+                ** 2
+            )
+
+        gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", gf, gr):
+            rel = np.linalg.norm(np.asarray(a) - np.asarray(b)) / max(
+                np.linalg.norm(np.asarray(b)), 1e-9
+            )
+            assert rel < 2e-2, (name, rel)
 
     def test_backward_window(self):
         q, k, v = make_qkv(22, 1, 256, 256, 2, 2, 64)
