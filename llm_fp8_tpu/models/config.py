@@ -31,6 +31,10 @@ class ModelConfig:
     qk_norm: bool = False  # Qwen3 applies per-head RMSNorm to q and k
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 131072
+    # Baichuan (flash_attn/models/baichuan.py:116-144): 13B replaces RoPE
+    # with ALiBi slopes; both sizes store QKV as one fused W_pack tensor.
+    alibi: bool = False
+    fused_wpack: bool = False
 
     @property
     def q_dim(self) -> int:
@@ -122,6 +126,27 @@ MODEL_REGISTRY = {
         intermediate_size=8192, num_layers=16, num_heads=32, num_kv_heads=8,
         head_dim=64, rope_theta=500000.0, rope_scaling=_LLAMA32_SCALING,
         tie_word_embeddings=True,
+    ),
+    # Baichuan (flash_attn/models/baichuan.py): Llama block with fused
+    # W_pack QKV; 7B uses RoPE, 13B uses ALiBi (inferred from hidden size in
+    # the reference, baichuan.py:116-121 — here declared explicitly).
+    "baichuan-7b": ModelConfig(
+        name="baichuan-7b", vocab_size=64000, hidden_size=4096,
+        intermediate_size=11008, num_layers=32, num_heads=32,
+        num_kv_heads=32, head_dim=128, rope_theta=10000.0, rms_eps=1e-6,
+        fused_wpack=True, max_position_embeddings=4096,
+    ),
+    "baichuan-13b": ModelConfig(
+        name="baichuan-13b", vocab_size=64000, hidden_size=5120,
+        intermediate_size=13696, num_layers=40, num_heads=40,
+        num_kv_heads=40, head_dim=128, rms_eps=1e-6,
+        alibi=True, fused_wpack=True, max_position_embeddings=4096,
+    ),
+    "debug-baichuan": ModelConfig(
+        name="debug-baichuan", vocab_size=512, hidden_size=128,
+        intermediate_size=256, num_layers=2, num_heads=4, num_kv_heads=4,
+        head_dim=32, rms_eps=1e-6, alibi=True, fused_wpack=True,
+        max_position_embeddings=2048,
     ),
     # Small debug configs (the reference's debug presets train 100 samples on
     # tiny batches, run_multigpu.sh:104-126; we go further: tiny *models*).

@@ -10,9 +10,13 @@ maps the multi-query c_attn). Same functional conventions as
 ``models/llama.py``: stacked layer params, ``lax.scan`` forward, weights
 usable as plain arrays or prequantized QTensors. One config covers:
 
-  * activation       — ``gelu_tanh`` (GPT-2/BigCode) or ``relu`` (OPT);
+  * activation       — ``gelu_tanh`` (GPT-2/BigCode), ``relu`` (OPT), or
+    ``swiglu`` (BTLM: ``c_fc``(gate)+``c_fc2``(up) pair);
   * position offset  — OPT reserves the first 2 rows of its position table;
-  * multi-query      — BigCode's single shared KV head (``num_kv_heads=1``).
+  * multi-query      — BigCode's single shared KV head (``num_kv_heads=1``);
+  * ALiBi + muP      — BTLM (``flash_attn/models/btlm.py:81-100``): no
+    position table, per-head alibi slopes, muP embedding/output multipliers
+    and the 1/d attention scale (``gpt.py:65,596-598``).
 
 OPT-350m's ``word_embed_proj_dim`` projection and post-LN variants are out
 of scope (the reference's OPT port skips them the same way).
@@ -35,7 +39,7 @@ from llm_fp8_tpu.quant import QTensor, qdot
 
 __all__ = ["GPT2Config", "GPT2_REGISTRY", "init_gpt2_params", "gpt2_forward",
            "pack_gpt2_state_dict", "pack_opt_state_dict",
-           "pack_bigcode_state_dict"]
+           "pack_bigcode_state_dict", "pack_btlm_state_dict"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,9 +51,18 @@ class GPT2Config:
     num_heads: int = 12
     num_kv_heads: int = -1  # -1 = num_heads; 1 = BigCode multi-query
     max_position_embeddings: int = 1024
-    activation: str = "gelu_tanh"  # "gelu_tanh" | "relu" (OPT)
+    activation: str = "gelu_tanh"  # "gelu_tanh" | "relu" (OPT) | "swiglu" (BTLM)
     pos_offset: int = 0  # OPT: position table rows 0-1 are reserved
     ln_eps: float = 1e-5
+    inner_size: int = -1  # -1 = 4*hidden; BTLM uses a bespoke ffn width
+    use_alibi: bool = False  # BTLM: alibi slopes instead of a position table
+    # muP (Cerebras BTLM, flash_attn/models/btlm.py:97-100): embedding-output
+    # multiplier, logits multiplier (output_alpha * width_scale), and the
+    # 1/d (instead of 1/sqrt(d)) attention scale.
+    mup_embeddings_multiplier: float = 1.0
+    mup_output_multiplier: float = 1.0
+    mup_width_scale: float = 1.0
+    mup_scale_qk_dot_by_d: bool = False
 
     def __post_init__(self):
         if self.num_kv_heads < 0:
@@ -65,7 +78,7 @@ class GPT2Config:
 
     @property
     def intermediate_size(self) -> int:
-        return 4 * self.hidden_size
+        return self.inner_size if self.inner_size > 0 else 4 * self.hidden_size
 
 
 GPT2_REGISTRY = {
@@ -100,19 +113,41 @@ GPT2_REGISTRY = {
                                 hidden_size=128, num_layers=2, num_heads=4,
                                 num_kv_heads=1,
                                 max_position_embeddings=256),
+    # BTLM (cerebras/btlm-3b-8k-base): GPT-2 block + SwiGLU + ALiBi + muP.
+    "btlm-3b": GPT2Config(name="btlm-3b", vocab_size=50257,
+                          hidden_size=2560, num_layers=32, num_heads=32,
+                          max_position_embeddings=8192, activation="swiglu",
+                          inner_size=6826, use_alibi=True,
+                          mup_embeddings_multiplier=14.6,
+                          mup_output_multiplier=2.22, mup_width_scale=0.1,
+                          mup_scale_qk_dot_by_d=True),
+    "debug-btlm": GPT2Config(name="debug-btlm", vocab_size=512,
+                             hidden_size=128, num_layers=2, num_heads=4,
+                             max_position_embeddings=256,
+                             activation="swiglu", inner_size=340,
+                             use_alibi=True,
+                             mup_embeddings_multiplier=14.6,
+                             mup_output_multiplier=2.22,
+                             mup_width_scale=0.1,
+                             mup_scale_qk_dot_by_d=True),
 }
 
 
 def init_gpt2_params(cfg: GPT2Config, key: jax.Array, dtype=jnp.float32):
     k = iter(jax.random.split(key, 8))
     D, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    # SwiGLU (BTLM): w_fc holds the fused gate|up pair, like llama's
+    # w_gate_up; ALiBi models carry no position table (1-row placeholder
+    # keeps the pytree structure uniform for quantize/shard passes).
+    fc_cols = 2 * I if cfg.activation == "swiglu" else I
+    n_pos = 1 if cfg.use_alibi else cfg.max_position_embeddings
 
     def w(key, shape, std=0.02):
         return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
 
     return {
         "wte": w(next(k), (cfg.vocab_size, D)),
-        "wpe": w(next(k), (cfg.max_position_embeddings, D), 0.01),
+        "wpe": w(next(k), (n_pos, D), 0.01),
         "layers": {
             "ln1_w": jnp.ones((L, D), dtype), "ln1_b": jnp.zeros((L, D), dtype),
             "ln2_w": jnp.ones((L, D), dtype), "ln2_b": jnp.zeros((L, D), dtype),
@@ -120,8 +155,8 @@ def init_gpt2_params(cfg: GPT2Config, key: jax.Array, dtype=jnp.float32):
             "b_qkv": jnp.zeros((L, D + 2 * cfg.kv_dim), dtype),
             "w_out": w(next(k), (L, D, D)),
             "b_out": jnp.zeros((L, D), dtype),
-            "w_fc": w(next(k), (L, D, I)),
-            "b_fc": jnp.zeros((L, I), dtype),
+            "w_fc": w(next(k), (L, D, fc_cols)),
+            "b_fc": jnp.zeros((L, fc_cols), dtype),
             "w_proj": w(next(k), (L, I, D)),
             "b_proj": jnp.zeros((L, D), dtype),
         },
@@ -248,6 +283,53 @@ def pack_bigcode_state_dict(sd: Dict[str, jax.Array], cfg: GPT2Config,
     }
 
 
+def pack_btlm_state_dict(sd: Dict[str, jax.Array], cfg: GPT2Config,
+                         dtype=jnp.float32):
+    """HF ``BTLMLMHeadModel`` (cerebras) → stacked params. Conv1D-style
+    ``[in, out]`` weights like GPT-2 (no transpose); the SwiGLU pair
+    ``c_fc``(gate)/``c_fc2``(up) fuses into ``w_fc`` (reference remap:
+    ``flash_attn/models/btlm.py:43-48``); ALiBi → no ``wpe`` in the
+    checkpoint (``btlm.py:22``)."""
+    def g(name):
+        return jnp.asarray(sd[name]).astype(dtype)
+
+    L = cfg.num_layers
+    stack = lambda fmt: jnp.stack([g(fmt.format(i)) for i in range(L)])  # noqa: E731
+
+    def fc_w(i):
+        return jnp.concatenate(
+            [g(f"transformer.h.{i}.mlp.c_fc.weight"),
+             g(f"transformer.h.{i}.mlp.c_fc2.weight")], axis=1,
+        )
+
+    def fc_b(i):
+        return jnp.concatenate(
+            [g(f"transformer.h.{i}.mlp.c_fc.bias"),
+             g(f"transformer.h.{i}.mlp.c_fc2.bias")]
+        )
+
+    return {
+        "wte": g("transformer.wte.weight"),
+        "wpe": jnp.zeros((1, cfg.hidden_size), dtype),
+        "layers": {
+            "ln1_w": stack("transformer.h.{}.ln_1.weight"),
+            "ln1_b": stack("transformer.h.{}.ln_1.bias"),
+            "ln2_w": stack("transformer.h.{}.ln_2.weight"),
+            "ln2_b": stack("transformer.h.{}.ln_2.bias"),
+            "w_qkv": stack("transformer.h.{}.attn.c_attn.weight"),
+            "b_qkv": stack("transformer.h.{}.attn.c_attn.bias"),
+            "w_out": stack("transformer.h.{}.attn.c_proj.weight"),
+            "b_out": stack("transformer.h.{}.attn.c_proj.bias"),
+            "w_fc": jnp.stack([fc_w(i) for i in range(L)]),
+            "b_fc": jnp.stack([fc_b(i) for i in range(L)]),
+            "w_proj": stack("transformer.h.{}.mlp.c_proj.weight"),
+            "b_proj": stack("transformer.h.{}.mlp.c_proj.bias"),
+        },
+        "lnf_w": g("transformer.ln_f.weight"),
+        "lnf_b": g("transformer.ln_f.bias"),
+    }
+
+
 def _dot(x, w):
     if isinstance(w, QTensor):
         return qdot(x, w)
@@ -265,11 +347,20 @@ def gpt2_forward(
     """``tokens [B, S] -> logits [B, S, V]`` (training/eval forward)."""
     B, S = tokens.shape
     D, H, Hk, Dh = cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    pos = jnp.arange(S) + cfg.pos_offset
-    x = (
-        jnp.take(params["wte"], tokens, axis=0)
-        + jnp.take(params["wpe"], pos, axis=0)[None]
-    ).astype(compute_dtype)
+    x = jnp.take(params["wte"], tokens, axis=0).astype(compute_dtype)
+    if cfg.mup_embeddings_multiplier != 1.0:
+        # muP embedding scale (reference gpt.py:431, applied at embed output).
+        x = x * cfg.mup_embeddings_multiplier
+    if cfg.use_alibi:
+        from llm_fp8_tpu.ops.attention import default_alibi_slopes
+
+        slopes = default_alibi_slopes(H)  # no learned position table
+    else:
+        slopes = None
+        pos = jnp.arange(S) + cfg.pos_offset
+        x = x + jnp.take(params["wpe"], pos, axis=0)[None].astype(x.dtype)
+    # muP attention scale: 1/d instead of 1/sqrt(d) (gpt.py:65).
+    attn_scale = (1.0 / Dh) if cfg.mup_scale_qk_dot_by_d else None
 
     def act(h):
         h32 = h.astype(jnp.float32)
@@ -284,17 +375,27 @@ def gpt2_forward(
         q = q.reshape(B, S, H, Dh)
         k = k.reshape(B, S, Hk, Dh)
         v = v.reshape(B, S, Hk, Dh)
-        a = attention(q, k, v, causal=True, impl=attn_impl)
+        a = attention(q, k, v, causal=True, impl=attn_impl,
+                      scale=attn_scale, alibi_slopes=slopes)
         x = x + _dot(a.reshape(B, S, D), lp["w_out"]) + lp["b_out"].astype(x.dtype)
 
         h = layernorm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
         h = _dot(h, lp["w_fc"]) + lp["b_fc"].astype(x.dtype)
-        h = act(h)
+        if cfg.activation == "swiglu":
+            gate, up = jnp.split(h, 2, axis=-1)
+            h = (jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
+        else:
+            h = act(h)
         x = x + _dot(h, lp["w_proj"]) + lp["b_proj"].astype(x.dtype)
         return x, None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     x = layernorm(x, params["lnf_w"], params["lnf_b"], cfg.ln_eps)
-    return jnp.dot(
+    logits = jnp.dot(
         x, params["wte"].T.astype(x.dtype), preferred_element_type=jnp.float32
     ).astype(jnp.float32)
+    out_scale = cfg.mup_output_multiplier * cfg.mup_width_scale
+    if out_scale != 1.0:
+        # muP logits scale (gpt.py:596-598: output_multiplier * width_scale).
+        logits = logits * out_scale
+    return logits

@@ -92,10 +92,15 @@ def pack_hf_state_dict(
     qn, kn = [], []
     for i in range(L):
         p = f"model.layers.{i}."
-        q = linear(p + "self_attn.q_proj.weight")
-        k = linear(p + "self_attn.k_proj.weight")
-        v = linear(p + "self_attn.v_proj.weight")
-        wqkv.append(jnp.concatenate([q, k, v], axis=1))
+        if cfg.fused_wpack:
+            # Baichuan: one fused q|k|v projection [3D, D] — transposed it
+            # is already our fused column layout (baichuan.py:97-108).
+            wqkv.append(linear(p + "self_attn.W_pack.weight"))
+        else:
+            q = linear(p + "self_attn.q_proj.weight")
+            k = linear(p + "self_attn.k_proj.weight")
+            v = linear(p + "self_attn.v_proj.weight")
+            wqkv.append(jnp.concatenate([q, k, v], axis=1))
         if cfg.qkv_bias:
             bqkv.append(
                 jnp.concatenate(
@@ -164,9 +169,12 @@ def export_hf_state_dict(
     for i in range(cfg.num_layers):
         p = f"model.layers.{i}."
         wqkv = lp["wqkv"][i]
-        put(p + "self_attn.q_proj.weight", wqkv[:, :qd].T)
-        put(p + "self_attn.k_proj.weight", wqkv[:, qd : qd + kvd].T)
-        put(p + "self_attn.v_proj.weight", wqkv[:, qd + kvd :].T)
+        if cfg.fused_wpack:
+            put(p + "self_attn.W_pack.weight", wqkv.T)
+        else:
+            put(p + "self_attn.q_proj.weight", wqkv[:, :qd].T)
+            put(p + "self_attn.k_proj.weight", wqkv[:, qd : qd + kvd].T)
+            put(p + "self_attn.v_proj.weight", wqkv[:, qd + kvd :].T)
         if "bqkv" in lp:
             b = lp["bqkv"][i]
             put(p + "self_attn.q_proj.bias", b[:qd])

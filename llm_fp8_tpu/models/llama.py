@@ -288,12 +288,21 @@ def _layer_body(
         # Qwen3 per-head QK-norm (before RoPE, matching HF Qwen3Attention).
         q = rmsnorm(q, lp["q_norm"], cfg.rms_eps)
         kk = rmsnorm(kk, lp["k_norm"], cfg.rms_eps)
-    q = apply_rope(q, cos, sin)
-    kk = apply_rope(kk, cos, sin)
+    if cfg.alibi:
+        # Baichuan-13B: ALiBi positional bias instead of RoPE
+        # (baichuan.py:141-144 sets rotary_emb_fraction=0, use_alibi=True).
+        from llm_fp8_tpu.ops.attention import default_alibi_slopes
+
+        slopes = default_alibi_slopes(Hq)
+    else:
+        slopes = None
+        q = apply_rope(q, cos, sin)
+        kk = apply_rope(kk, cos, sin)
 
     if cache_kv is None:
         attn = attention(
             q, kk, vv, causal=True, kv_lens=kv_lens, impl=attn_impl,
+            alibi_slopes=slopes,
             dropout_p=dropout_p, dropout_seed=dropout_seed,
             cp_axis=cp_axis, cp_mesh=cp_mesh,
         )
@@ -351,7 +360,7 @@ def _layer_body(
             v_all = v_all * v_scale.astype(q.dtype)
         attn = attention(
             q, k_all, v_all, causal=True, q_offset=start_pos,
-            kv_lens=kv_lens, impl=attn_impl,
+            kv_lens=kv_lens, impl=attn_impl, alibi_slopes=slopes,
         )
         new_kv = (k_cache, v_cache)
 
@@ -506,6 +515,10 @@ def forward_paged(
     """
     from llm_fp8_tpu.kernels.paged_attention import paged_attention
 
+    assert not cfg.alibi, (
+        "paged decode does not carry alibi bias; serve alibi models (Baichuan"
+        "-13B) through the arena engine's XLA decode path"
+    )
     B, S = tokens.shape
     assert S == 1, "forward_paged is the decode step"
     P, L, Hk, Dh, page_size = k_pages.shape
@@ -610,6 +623,10 @@ def forward_decode_arena(
     """
     from llm_fp8_tpu.kernels.decode_attention import decode_attention_arena
 
+    assert not cfg.alibi, (
+        "the fused arena kernel does not carry alibi bias; serve alibi "
+        "models (Baichuan-13B) through the engine's plain KVCache path"
+    )
     B, S_tok = tokens.shape
     assert S_tok == 1, "forward_decode_arena is the decode step"
     L, _, Hk, Dh, S = k_arena.shape
