@@ -65,6 +65,7 @@ class TestQuantizeRoundTrip:
         assert jnp.all(jnp.isfinite(q.dequantize()))
         assert jnp.all(q.dequantize() == 0)
 
+    @pytest.mark.exact
     def test_saturation_no_nan(self):
         # e4m3fn has no inf; values above amax*scale must clip, not overflow.
         x = jnp.array([[1e6, -1e6, 1.0, 0.0]], jnp.float32)
@@ -82,6 +83,7 @@ class TestMX:
         xd = q.dequantize()
         assert jnp.max(jnp.abs(xd - x)) <= 2.0 ** -3 * jnp.max(jnp.abs(x))
 
+    @pytest.mark.exact
     def test_scales_are_powers_of_two(self):
         x = rand(3, (32, 64), 7.3)
         q = quantize_mx(x, E4M3, block_axis=0)
@@ -89,6 +91,7 @@ class TestMX:
         log = jnp.log2(s)
         np.testing.assert_allclose(log, jnp.round(log), atol=0)
 
+    @pytest.mark.exact
     def test_block_isolation(self):
         # An outlier in one block must not affect other blocks' precision.
         x = jnp.ones((1, 64), jnp.float32)

@@ -43,6 +43,26 @@ class TestQuantMatmul:
             rtol=2e-2, atol=2e-2,
         )
 
+    @pytest.mark.exact
+    def test_bit_twiddle_dequant_exact(self):
+        """The manual exponent-rebias dequant must agree with ``astype``
+        bit-for-bit on every e4m3 value, including subnormals and zeros —
+        asserted exactly even on TPU (the conftest tolerance floor is
+        disabled by the ``exact`` marker)."""
+        from llm_fp8_tpu.kernels.quant_matmul import _dequant_to
+
+        all_bits = jnp.arange(256, dtype=jnp.uint8)
+        vals = jax.lax.bitcast_convert_type(all_bits, jnp.float8_e4m3fn)
+        vals = jnp.where(jnp.isnan(vals.astype(jnp.float32)), 0.0, vals)
+        # bitcast has no eager eval rule — run the helper under jit.
+        got = jax.jit(lambda v: _dequant_to(v, jnp.bfloat16))(
+            vals.reshape(16, 16)
+        )
+        want = vals.reshape(16, 16).astype(jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32)
+        )
+
     def test_determinism(self):
         x = rand(4, (16, 256)).astype(jnp.bfloat16)
         wq = quantize(rand(5, (256, 512), 0.05), E4M3, axes=(0,))
