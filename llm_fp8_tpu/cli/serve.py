@@ -25,7 +25,10 @@ def build_parser():
     p.add_argument("--weights_path", type=str, default=None)
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--precision", type=str, default="fp8",
-                   choices=["fp8", "bf16"])
+                   choices=["fp8", "int8", "bf16"],
+                   help="int8 = weight-only symmetric int8, the v5e-native "
+                        "serving format (hardware int8→bf16 convert; "
+                        "docs/PERF_NOTES.md)")
     p.add_argument("--fp8_scenario", type=str, default="default",
                    choices=["default", "mxfp8", "hybrid"])
     p.add_argument("--kv_dtype", type=str, default="auto",
@@ -63,6 +66,8 @@ def main(argv=None):
         params = load_hf_checkpoint(args.weights_path, cfg, dtype=dtype)
     if args.precision == "fp8":
         params = quantize_params(params, recipe_set_by_name(args.fp8_scenario))
+    elif args.precision == "int8":
+        params = quantize_params(params, recipe_set_by_name("int8"))
 
     from llm_fp8_tpu.utils.backend import resolve_kv_dtype
 

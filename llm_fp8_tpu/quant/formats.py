@@ -17,6 +17,7 @@ __all__ = [
     "E4M3",
     "E5M2",
     "E8M0",
+    "INT8",
     "HYBRID_FWD",
     "HYBRID_BWD",
 ]
@@ -53,12 +54,19 @@ E5M2 = Format("e5m2", jnp.float8_e5m2, _finfo_max(jnp.float8_e5m2))
 #: Power-of-two scale format used by MXFP8 block scaling (8 exponent bits).
 E8M0 = Format("e8m0", jnp.float8_e8m0fnu, _finfo_max(jnp.float8_e8m0fnu))
 
+#: Symmetric int8 storage. Not an FP8 format — a v5e-native alternative: the
+#: int8→bf16 convert is hardware (measured 1.35× bf16 decode-GEMM throughput
+#: where fp8's software dequant manages 1.09×), and int8×int8 hits the MXU at
+#: ~1.5× bf16 FLOPs (docs/PERF_NOTES.md). Plays the role of the reference
+#: thesis's FP8-weight vLLM serving format on hardware without fp8 MXU paths.
+INT8 = Format("int8", jnp.int8, 127.0)
+
 # TE's HYBRID recipe means: e4m3 for forward-pass tensors (weights/activations),
 # e5m2 for backward-pass tensors (gradients). We name both halves explicitly.
 HYBRID_FWD = E4M3
 HYBRID_BWD = E5M2
 
-_BY_NAME = {f.name: f for f in (E4M3, E5M2, E8M0)}
+_BY_NAME = {f.name: f for f in (E4M3, E5M2, E8M0, INT8)}
 
 
 def format_by_name(name: str) -> Format:

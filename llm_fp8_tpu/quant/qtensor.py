@@ -132,7 +132,11 @@ def quantize(
         scale = jnp.asarray(scale, jnp.float32)
     # Clip into the representable range: values that outgrow a delayed scale
     # must saturate, not overflow to inf/nan (e4m3fn has no inf encoding).
-    q = jnp.clip(x32 / scale, -fmt.max, fmt.max).astype(fmt.dtype)
+    q = jnp.clip(x32 / scale, -fmt.max, fmt.max)
+    if jnp.issubdtype(fmt.dtype, jnp.integer):
+        # float→int astype truncates toward zero; int8 needs round-to-nearest.
+        q = jnp.round(q)
+    q = q.astype(fmt.dtype)
     if scale.ndim == 0:
         scale = scale.reshape((1,) * x.ndim)
     return QTensor(qvalue=q, scale=scale, fmt=fmt)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Literal, Optional
 
-from .formats import Format, E4M3, E5M2
+from .formats import Format, E4M3, E5M2, INT8
 
 __all__ = [
     "Recipe",
@@ -24,6 +24,7 @@ __all__ = [
     "LAYERWISE",
     "UNIFORM_HYBRID",
     "MXFP8_SET",
+    "INT8_WEIGHTS",
     "BF16_SET",
     "recipe_set_by_name",
 ]
@@ -128,10 +129,28 @@ MXFP8_SET = RecipeSet(
     },
 )
 
+#: Weight-only symmetric int8, per-output-channel scales — the v5e-native
+#: serving recipe (no fp8 MXU there; the int8→bf16 convert is hardware,
+#: docs/PERF_NOTES.md). Same role as the thesis's FP8-weight vLLM format
+#: (thesis/chapters/c3/c3_methodology.tex:46-52) on int8-native hardware.
+#: KV cache stays bf16 (the measured-winning cache dtype on v5e).
+_INT8_W = Recipe(granularity="channel", fmt_fwd=INT8, fmt_bwd=E5M2,
+                 quantize_activations=False)
+INT8_WEIGHTS = RecipeSet(
+    name="int8",
+    default=None,
+    overrides={
+        "attn_qkv": _INT8_W,
+        "attn_out": _INT8_W,
+        "mlp": _INT8_W,
+    },
+)
+
 #: No quantization anywhere — the bf16 baseline.
 BF16_SET = RecipeSet(name="bf16", default=None, overrides={})
 
-_SETS = {s.name: s for s in (LAYERWISE, UNIFORM_HYBRID, MXFP8_SET, BF16_SET)}
+_SETS = {s.name: s for s in (LAYERWISE, UNIFORM_HYBRID, MXFP8_SET,
+                             INT8_WEIGHTS, BF16_SET)}
 # CLI-compatible aliases: the reference calls the layer-wise recipe "default"
 # (fp8_scenario ∈ {default, mxfp8, hybrid}, train_fp8.py:103-116).
 _SETS["default"] = LAYERWISE

@@ -204,7 +204,7 @@ class TestKVCacheDecode:
 
 
 class TestQuantizedForward:
-    @pytest.mark.parametrize("recipes", ["default", "hybrid", "mxfp8"])
+    @pytest.mark.parametrize("recipes", ["default", "hybrid", "mxfp8", "int8"])
     def test_weight_quantized_close(self, recipes):
         rs = recipe_set_by_name(recipes)
         key = jax.random.PRNGKey(2)

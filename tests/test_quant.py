@@ -12,6 +12,7 @@ import pytest
 from llm_fp8_tpu.quant import (
     E4M3,
     E5M2,
+    INT8,
     DELAYED_E4M3,
     DELAYED_HYBRID,
     MXFP8,
@@ -72,6 +73,61 @@ class TestQuantizeRoundTrip:
         q = quantize(x, E4M3, scale=jnp.ones(()))
         assert jnp.all(jnp.isfinite(q.dequantize()))
         np.testing.assert_allclose(q.dequantize()[0, :2], [448.0, -448.0])
+
+
+class TestInt8:
+    """Symmetric int8 storage — the v5e-native weight-only serving format."""
+
+    def test_round_trip_bound(self):
+        # Round-to-nearest symmetric int8: per-channel error ≤ scale/2
+        # where scale = channel_amax / 127.
+        x = rand(20, (256, 64))
+        q = quantize(x, INT8, axes=(0,))
+        assert q.qvalue.dtype == jnp.int8
+        scale = q.scale  # [1, 64]
+        err = jnp.abs(q.dequantize() - x)
+        assert jnp.all(err <= scale * 0.5 + 1e-7)
+
+    @pytest.mark.exact
+    def test_rounds_to_nearest_not_truncates(self):
+        # astype(int8) truncates toward zero; 0.9/scale=114.3 must round to
+        # 114, and 1.996 (253.5 quanta) to 254-clipped... use exact cases.
+        x = jnp.array([[0.9, -0.9, 0.004, -0.004]], jnp.float32)
+        q = quantize(x, INT8, scale=jnp.float32(1.0 / 127.0))
+        np.testing.assert_allclose(
+            np.asarray(q.qvalue[0]), [114, -114, 1, -1], atol=0
+        )
+
+    @pytest.mark.exact
+    def test_saturates(self):
+        x = jnp.array([[1e6, -1e6]], jnp.float32)
+        q = quantize(x, INT8, scale=jnp.ones(()))
+        np.testing.assert_allclose(np.asarray(q.qvalue[0]), [127, -127], atol=0)
+
+    def test_qdot_matches_dequant_matmul(self):
+        x = rand(21, (8, 256)).astype(jnp.bfloat16)
+        w = rand(22, (256, 128))
+        wq = quantize(w, INT8, axes=(0,))
+        got = qdot(x, wq)
+        want = jnp.dot(x.astype(jnp.float32), wq.dequantize())
+        np.testing.assert_allclose(got.astype(jnp.float32), want,
+                                   rtol=0.05, atol=0.5)
+
+    def test_tighter_than_fp8(self):
+        # Per-channel int8 (7.99 effective bits) beats e4m3 (4.3 bits of
+        # mantissa+sign resolution) on Gaussian weights by a wide margin.
+        w = rand(23, (256, 128), 0.02)
+        err_i8 = jnp.mean(jnp.abs(quantize(w, INT8, axes=(0,)).dequantize() - w))
+        err_f8 = jnp.mean(jnp.abs(quantize(w, E4M3, axes=(0,)).dequantize() - w))
+        assert err_i8 < err_f8 / 2, (err_i8, err_f8)
+
+    def test_recipe_set(self):
+        rs = recipe_set_by_name("int8")
+        r = rs.for_role("mlp")
+        assert r.fmt_fwd is INT8
+        assert not r.quantize_activations
+        assert rs.for_role("kv_cache") is None   # bf16 KV — the v5e winner
+        assert rs.for_role("lm_head") is None
 
 
 class TestMX:
