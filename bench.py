@@ -210,7 +210,7 @@ def main():
     # fp8 weights + bf16 KV: fp8 KV would pay software dequant per cache byte
     # on v5e (measured 0.37x); bf16 KV keeps attention at full speed.
     fp8_tps = bench_decode(qparams, cfg, jnp.bfloat16, BATCH_FP8)
-    del params, qparams
+    del qparams
 
     speedup = fp8_tps / bf16_tps
     result = {
@@ -230,6 +230,25 @@ def main():
     # Headline evidence FIRST: if the 8B leg dies or the driver kills us
     # later, this line is already on stdout.
     print(json.dumps(result), flush=True)
+
+    # int8 weight storage: the v5e-native 1-byte format (hardware int8->bf16
+    # convert vs fp8's VPU-software dequant) — measured the fastest serving
+    # config on this chip (docs/PERF_NOTES.md int8 table). Cheap leg (~30 s):
+    # one more compile + loop at the same batch.
+    if _remaining() > 120:
+        try:
+            from llm_fp8_tpu.quant import recipe_set_by_name
+
+            q_int8 = quantize_params(params, recipe_set_by_name("int8"))
+            del params
+            int8_tps = bench_decode(q_int8, cfg, jnp.bfloat16, BATCH_FP8)
+            del q_int8
+            result["int8_tokens_per_s"] = round(int8_tps, 1)
+            result["int8_decode_x"] = round(int8_tps / bf16_tps, 3)
+            print(json.dumps(result), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"int8 leg failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
 
     if _remaining() > EIGHT_B_COST_S:
         tps_8b = bench_8b_fp8()
