@@ -60,11 +60,13 @@ def _kernel(
     v_scale_ref,  # [Hk]
     # inputs
     q_ref,  # [1, Hk, G8, D] VMEM (grouped q heads, padded to 8 sublanes)
+    alibi_ref,  # [Hk, G8] VMEM per-head ALiBi slopes (zeros when unused)
     *rest,
     chunk: int,
     scale: float,
     window: Optional[int],
     softcap: Optional[float],
+    has_alibi: bool,
     append: bool,
     fmax: Optional[float],
 ):
@@ -208,6 +210,13 @@ def _kernel(
         pos = i * chunk + jax.lax.broadcasted_iota(
             jnp.int32, (Hk, G8, chunk), 2
         )
+        if has_alibi:
+            # ALiBi bias after softcap (same ordering as the flash kernel:
+            # the cap bounds QK scores, the positional bias stays uncapped).
+            # The decode token sits at position length-1 ≥ every valid k, so
+            # -slope·|q_pos - k_pos| = slope·(pos - (length-1)).
+            slope = alibi_ref[...][:, :, None]  # [Hk, G8, 1]
+            s = s + slope * (pos - (length - 1)).astype(jnp.float32)
         mask = pos < length
         if window is not None:
             # The decode token sits at absolute position length-1.
@@ -249,7 +258,8 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "window", "softcap", "chunk", "interpret"),
+    static_argnames=("scale", "window", "softcap", "alibi_slopes", "chunk",
+                     "interpret"),
 )
 def decode_attention_arena(
     q: jax.Array,  # [B, Hq, D]
@@ -265,6 +275,7 @@ def decode_attention_arena(
     scale: Optional[float] = None,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    alibi_slopes: Optional[tuple] = None,  # [Hq] floats, hashable (static)
     chunk: int = 512,
     interpret: Optional[bool] = None,
 ):
@@ -306,9 +317,25 @@ def decode_attention_arena(
     if G8 != groups:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, G8 - groups), (0, 0)))
 
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        # [Hq] flat slopes -> [Hk, G8] array matching the q packing (grouped
+        # heads in sublanes, zero bias on the padding rows). Passed as a tiny
+        # VMEM input — Pallas kernels cannot capture constant arrays.
+        flat = tuple(float(s) for s in alibi_slopes)
+        assert len(flat) == Hq, (len(flat), Hq)
+        alibi_arr = jnp.asarray(
+            [flat[h * groups:(h + 1) * groups] + (0.0,) * (G8 - groups)
+             for h in range(Hk)],
+            jnp.float32,
+        )
+    else:
+        alibi_arr = jnp.zeros((Hk, G8), jnp.float32)
+    alibi_spec = pl.BlockSpec((Hk, G8), lambda b, *_: (0, 0))
+
     kernel = functools.partial(
         _kernel, chunk=chunk, scale=scale, window=window, softcap=softcap,
-        append=append, fmax=fmax,
+        has_alibi=has_alibi, append=append, fmax=fmax,
     )
 
     arena_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
@@ -327,6 +354,7 @@ def decode_attention_arena(
                 grid=(B,),
                 in_specs=[
                     q_spec,
+                    alibi_spec,
                     pl.BlockSpec((1, Hk, D), lambda b, *_: (b, 0, 0)),
                     pl.BlockSpec((1, Hk, D), lambda b, *_: (b, 0, 0)),
                     *arena_specs,
@@ -347,15 +375,15 @@ def decode_attention_arena(
                 jax.ShapeDtypeStruct(k_arena.shape, k_arena.dtype),
                 jax.ShapeDtypeStruct(v_arena.shape, v_arena.dtype),
             ),
-            # Inputs (scalar prefetch included) are
-            # (lengths, layer, ks, vs, q, new_k, new_v, k_arena, v_arena):
-            # alias the arenas to outputs 1/2 → the RMW is in-place in HBM.
-            input_output_aliases={7: 1, 8: 2},
+            # Inputs (scalar prefetch included) are (lengths, layer, ks, vs,
+            # q, alibi, new_k, new_v, k_arena, v_arena): alias the arenas to
+            # outputs 1/2 → the RMW is in-place in HBM.
+            input_output_aliases={8: 1, 9: 2},
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
             interpret=interpret,
-        )(lengths, layer_idx, k_scale, v_scale, qg,
+        )(lengths, layer_idx, k_scale, v_scale, qg, alibi_arr,
           new_k.astype(jnp.bfloat16), new_v.astype(jnp.bfloat16),
           k_arena, v_arena)
         o, k_arena, v_arena = out
@@ -366,7 +394,7 @@ def decode_attention_arena(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(B,),
-            in_specs=[q_spec, *arena_specs],
+            in_specs=[q_spec, alibi_spec, *arena_specs],
             out_specs=o_spec,
             scratch_shapes=buf_shapes + [pltpu.SemaphoreType.DMA((2, 2))],
         ),
@@ -375,6 +403,6 @@ def decode_attention_arena(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(lengths, layer_idx, k_scale, v_scale, qg, k_arena, v_arena)
+    )(lengths, layer_idx, k_scale, v_scale, qg, alibi_arr, k_arena, v_arena)
 
     return out[:, :, :groups].reshape(B, Hq, D)

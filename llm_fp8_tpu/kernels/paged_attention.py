@@ -47,6 +47,7 @@ def _kernel(
     layer_ref,  # [1]
     # inputs
     q_ref,  # [1, 1, G8, D] VMEM (grouped q heads, padded to 8 sublanes)
+    alibi_ref,  # [1, 1, G8] VMEM — this KV head's ALiBi slopes (0s if unused)
     k_pages_ref,  # [P, L, Hk, D, page] HBM (lane-major pages)
     v_pages_ref,  # [P, L, Hk, D, page] HBM
     # output
@@ -62,6 +63,7 @@ def _kernel(
     kv_scale: float,
     window: Optional[int],
     softcap: Optional[float],
+    has_alibi: bool,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -111,6 +113,13 @@ def _kernel(
         pos = i * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (G8, page_size), 1
         )
+        if has_alibi:
+            # ALiBi bias after softcap (flash-kernel ordering). The decode
+            # token is at position length-1 ≥ every valid k position, so
+            # -slope·|q_pos - k_pos| = slope·(pos - (length-1)). The BlockSpec
+            # index map already selected this KV head's G8 slope rows.
+            slope = alibi_ref[0, 0][:, None]  # [G8, 1]
+            s = s + slope * (pos - (length - 1)).astype(jnp.float32)
         mask = pos < length
         if window is not None:
             # The decode token sits at absolute position length-1.
@@ -141,7 +150,8 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "kv_scale", "window", "softcap", "interpret"),
+    static_argnames=("scale", "kv_scale", "window", "softcap", "alibi_slopes",
+                     "interpret"),
 )
 def paged_attention(
     q: jax.Array,  # [B, Hq, D]
@@ -155,6 +165,7 @@ def paged_attention(
     kv_scale: float = 1.0,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    alibi_slopes: Optional[tuple] = None,  # [Hq] floats, hashable (static)
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     if interpret is None:
@@ -177,6 +188,23 @@ def paged_attention(
     if G8 != groups:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, G8 - groups), (0, 0)))
 
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        # [Hq] flat slopes -> [Hk, G8] array matching the q packing; passed
+        # as a tiny VMEM input (Pallas kernels cannot capture constants) with
+        # the BlockSpec handing each (b, h) cell its own KV head's row.
+        flat = tuple(float(s) for s in alibi_slopes)
+        assert len(flat) == Hq, (len(flat), Hq)
+        # 3-D [Hk, 1, G8]: the trailing (1, G8) block equals the array's own
+        # trailing dims, satisfying Mosaic's (8, 128) block-divisibility rule.
+        alibi_arr = jnp.asarray(
+            [flat[h * groups:(h + 1) * groups] + (0.0,) * (G8 - groups)
+             for h in range(Hk)],
+            jnp.float32,
+        )[:, None, :]
+    else:
+        alibi_arr = jnp.zeros((Hk, 1, G8), jnp.float32)
+
     kernel = functools.partial(
         _kernel,
         page_size=page_size,
@@ -185,6 +213,7 @@ def paged_attention(
         kv_scale=kv_scale,
         window=window,
         softcap=softcap,
+        has_alibi=has_alibi,
     )
 
     out = pl.pallas_call(
@@ -196,6 +225,7 @@ def paged_attention(
                 pl.BlockSpec(
                     (1, 1, G8, D), lambda b, h, *_: (b, h, 0, 0)
                 ),
+                pl.BlockSpec((1, 1, G8), lambda b, h, *_: (h, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),  # k pages stay in HBM
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
@@ -213,6 +243,6 @@ def paged_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, page_tables, layer_idx, qg, k_pages, v_pages)
+    )(lengths, page_tables, layer_idx, qg, alibi_arr, k_pages, v_pages)
 
     return out[:, :, :groups].reshape(B, Hq, D)

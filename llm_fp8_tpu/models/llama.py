@@ -246,6 +246,86 @@ def init_kv_cache(
 # --------------------------------------------------------------------------
 
 
+def cache_append_attend(
+    q: jax.Array,  # [B, S, Hq, Dh]
+    kk: jax.Array,  # [B, S, Hk, Dh] new K (post-rope / post-norm)
+    vv: jax.Array,
+    cache_kv: Tuple,
+    start_pos: jax.Array,  # [B]
+    kv_lens: Optional[jax.Array],
+    *,
+    attn_impl: str = "auto",
+    scale: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Append new K/V into the carried cache arena at each sequence's
+    ``start_pos`` (quantizing when the arena is FP8) and attend over the
+    masked cache — the shared decode-step cache machinery every model family
+    uses (the reference's ``InferenceParams`` update + ``
+    flash_attn_with_kvcache`` pair, ``flash_attn/utils/generation.py:158-163``
+    + ``modules/mha.py:502-541``).
+
+    ``cache_kv``: ``(k_cache, v_cache, k_scale, v_scale[, layer_idx])`` —
+    per-layer arenas ``[B, S, Hk, Dh]`` when ``layer_idx`` is absent/None, or
+    full ``[L, B, S, Hk, Dh]`` arenas carried through the layer scan.
+    Returns ``(attn [B, S, Hq, Dh], (k_cache, v_cache))``.
+    """
+    k_cache, v_cache, k_scale, v_scale = cache_kv[:4]
+    layer_idx = cache_kv[4] if len(cache_kv) > 4 else None
+    if k_cache.dtype != kk.dtype:
+        # Clip into the fp8 range before the cast: f32→e4m3fn conversion
+        # of an overflowing value yields NaN (e4m3fn has no inf encoding),
+        # and one NaN in the cache poisons every later step of the sequence.
+        fmax = float(jnp.finfo(k_cache.dtype).max)
+        k_store = jnp.clip(
+            kk.astype(jnp.float32) / k_scale, -fmax, fmax
+        ).astype(k_cache.dtype)
+        v_store = jnp.clip(
+            vv.astype(jnp.float32) / v_scale, -fmax, fmax
+        ).astype(v_cache.dtype)
+    else:
+        k_store, v_store = kk, vv
+    if layer_idx is None:
+        # Per-layer arenas [B, S, Hk, Dh] (cache flows through scan xs/ys).
+        upd = jax.vmap(
+            lambda c, s, p: jax.lax.dynamic_update_slice(c, s, (p, 0, 0))
+        )
+        k_cache = upd(k_cache, k_store, start_pos)
+        v_cache = upd(v_cache, v_store, start_pos)
+        k_layer, v_layer = k_cache, v_cache
+    else:
+        # Full arena [L, B, S, Hk, Dh] carried through the scan: in-place
+        # dynamic updates on the carry — no per-layer arena copies (the
+        # xs→ys form rewrites the whole cache every step; profiled as
+        # ~10% of decode time on v5e).
+        upd = jax.vmap(
+            lambda c, s, p: jax.lax.dynamic_update_slice(
+                c, s[None], (layer_idx, p, 0, 0)
+            ),
+            in_axes=(1, 0, 0), out_axes=1,
+        )
+        k_cache = upd(k_cache, k_store, start_pos)
+        v_cache = upd(v_cache, v_store, start_pos)
+        k_layer = jax.lax.dynamic_index_in_dim(
+            k_cache, layer_idx, 0, keepdims=False
+        )
+        v_layer = jax.lax.dynamic_index_in_dim(
+            v_cache, layer_idx, 0, keepdims=False
+        )
+    # …then attend over the whole (masked) cache.
+    k_all = k_layer.astype(q.dtype)
+    v_all = v_layer.astype(q.dtype)
+    if k_layer.dtype != kk.dtype:
+        k_all = k_all * k_scale.astype(q.dtype)
+        v_all = v_all * v_scale.astype(q.dtype)
+    attn = attention(
+        q, k_all, v_all, causal=True, q_offset=start_pos,
+        kv_lens=kv_lens, impl=attn_impl, scale=scale,
+        alibi_slopes=alibi_slopes,
+    )
+    return attn, (k_cache, v_cache)
+
+
 def _layer_body(
     x: jax.Array,
     lp: Dict[str, Any],
@@ -308,61 +388,14 @@ def _layer_body(
         )
         new_kv = (kk, vv)
     else:
-        k_cache, v_cache, k_scale, v_scale = cache_kv[:4]
-        layer_idx = cache_kv[4] if len(cache_kv) > 4 else None
         # Append new K/V at each sequence's own start_pos (continuous
-        # batching: per-slot positions), quantizing if the cache is FP8.
-        if k_cache.dtype != kk.dtype:
-            # Clip into the fp8 range before the cast: f32→e4m3fn conversion
-            # of an overflowing value yields NaN (e4m3fn has no inf), and one
-            # NaN in the cache poisons every later step of that sequence.
-            fmax = float(jnp.finfo(k_cache.dtype).max)
-            k_store = jnp.clip(
-                kk.astype(jnp.float32) / k_scale, -fmax, fmax
-            ).astype(k_cache.dtype)
-            v_store = jnp.clip(
-                vv.astype(jnp.float32) / v_scale, -fmax, fmax
-            ).astype(v_cache.dtype)
-        else:
-            k_store, v_store = kk, vv
-        if layer_idx is None:
-            # Per-layer arenas [B, S, Hk, Dh] (cache flows through scan xs/ys).
-            upd = jax.vmap(
-                lambda c, s, p: jax.lax.dynamic_update_slice(c, s, (p, 0, 0))
-            )
-            k_cache = upd(k_cache, k_store, start_pos)
-            v_cache = upd(v_cache, v_store, start_pos)
-            k_layer, v_layer = k_cache, v_cache
-        else:
-            # Full arena [L, B, S, Hk, Dh] carried through the scan: in-place
-            # dynamic updates on the carry — no per-layer arena copies (the
-            # xs→ys form rewrites the whole cache every step; profiled as
-            # ~10% of decode time on v5e).
-            upd = jax.vmap(
-                lambda c, s, p: jax.lax.dynamic_update_slice(
-                    c, s[None], (layer_idx, p, 0, 0)
-                ),
-                in_axes=(1, 0, 0), out_axes=1,
-            )
-            k_cache = upd(k_cache, k_store, start_pos)
-            v_cache = upd(v_cache, v_store, start_pos)
-            k_layer = jax.lax.dynamic_index_in_dim(
-                k_cache, layer_idx, 0, keepdims=False
-            )
-            v_layer = jax.lax.dynamic_index_in_dim(
-                v_cache, layer_idx, 0, keepdims=False
-            )
-        # …then attend over the whole (masked) cache.
-        k_all = k_layer.astype(q.dtype)
-        v_all = v_layer.astype(q.dtype)
-        if k_layer.dtype != kk.dtype:
-            k_all = k_all * k_scale.astype(q.dtype)
-            v_all = v_all * v_scale.astype(q.dtype)
-        attn = attention(
-            q, k_all, v_all, causal=True, q_offset=start_pos,
-            kv_lens=kv_lens, impl=attn_impl, alibi_slopes=slopes,
+        # batching: per-slot positions), quantizing if the cache is FP8,
+        # then attend over the whole (masked) cache — shared machinery,
+        # see cache_append_attend above.
+        attn, new_kv = cache_append_attend(
+            q, kk, vv, cache_kv, start_pos, kv_lens,
+            attn_impl=attn_impl, alibi_slopes=slopes,
         )
-        new_kv = (k_cache, v_cache)
 
     attn = attn.reshape(B, S, Hq * Dh)
     o, amaxes["attn_out"] = dots["attn_out"](attn, lp["wo"])
@@ -515,19 +548,23 @@ def forward_paged(
     """
     from llm_fp8_tpu.kernels.paged_attention import paged_attention
 
-    assert not cfg.alibi, (
-        "paged decode does not carry alibi bias; serve alibi models (Baichuan"
-        "-13B) through the arena engine's XLA decode path"
-    )
     B, S = tokens.shape
     assert S == 1, "forward_paged is the decode step"
     P, L, Hk, Dh, page_size = k_pages.shape
     Hq = cfg.num_heads
 
     x = jnp.take(params["embed"], tokens, axis=0).astype(compute_dtype)
-    positions = lens[:, None]
-    inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
-    cos, sin = rope_cos_sin(positions, inv_freq)
+    if cfg.alibi:
+        # Baichuan-13B: ALiBi bias inside the paged kernel, no RoPE.
+        from llm_fp8_tpu.ops.attention import alibi_slopes_list
+
+        slopes, cos, sin = tuple(alibi_slopes_list(Hq)), None, None
+    else:
+        slopes = None
+        positions = lens[:, None]
+        inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta,
+                                    cfg.rope_scaling)
+        cos, sin = rope_cos_sin(positions, inv_freq)
 
     page_ids = jnp.take_along_axis(
         page_tables, (lens // page_size)[:, None], axis=1
@@ -559,8 +596,9 @@ def forward_paged(
         if "q_norm" in lp:
             q = rmsnorm(q, lp["q_norm"], cfg.rms_eps)
             kk = rmsnorm(kk, lp["k_norm"], cfg.rms_eps)
-        q = apply_rope(q, cos, sin)
-        kk = apply_rope(kk, cos, sin)
+        if not cfg.alibi:
+            q = apply_rope(q, cos, sin)
+            kk = apply_rope(kk, cos, sin)
         vv = vv.reshape(B, 1, Hk, Dh)
 
         fmax = float(jnp.finfo(kp.dtype).max) if kp.dtype != kk.dtype else None
@@ -574,7 +612,8 @@ def forward_paged(
         vp = append(vp, v_new, l)
 
         attn = paged_attention(
-            q[:, 0], kp, vp, lens + 1, page_tables, l, kv_scale=kv_scale
+            q[:, 0], kp, vp, lens + 1, page_tables, l, kv_scale=kv_scale,
+            alibi_slopes=slopes,
         )
         x = x + _dot(attn.reshape(B, 1, Hq * Dh), lp["wo"])
 
@@ -623,19 +662,23 @@ def forward_decode_arena(
     """
     from llm_fp8_tpu.kernels.decode_attention import decode_attention_arena
 
-    assert not cfg.alibi, (
-        "the fused arena kernel does not carry alibi bias; serve alibi "
-        "models (Baichuan-13B) through the engine's plain KVCache path"
-    )
     B, S_tok = tokens.shape
     assert S_tok == 1, "forward_decode_arena is the decode step"
     L, _, Hk, Dh, S = k_arena.shape
     Hq = cfg.num_heads
 
     x = jnp.take(params["embed"], tokens, axis=0).astype(compute_dtype)
-    positions = lens[:, None]
-    inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
-    cos, sin = rope_cos_sin(positions, inv_freq)
+    if cfg.alibi:
+        # Baichuan-13B: ALiBi bias inside the arena kernel, no RoPE.
+        from llm_fp8_tpu.ops.attention import alibi_slopes_list
+
+        slopes, cos, sin = tuple(alibi_slopes_list(Hq)), None, None
+    else:
+        slopes = None
+        positions = lens[:, None]
+        inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta,
+                                    cfg.rope_scaling)
+        cos, sin = rope_cos_sin(positions, inv_freq)
 
     def body(carry, lp_l):
         x, ka, va = carry
@@ -650,15 +693,16 @@ def forward_decode_arena(
         if "q_norm" in lp:
             q = rmsnorm(q, lp["q_norm"], cfg.rms_eps)
             kk = rmsnorm(kk, lp["k_norm"], cfg.rms_eps)
-        q = apply_rope(q, cos, sin)
-        kk = apply_rope(kk, cos, sin)
+        if not cfg.alibi:
+            q = apply_rope(q, cos, sin)
+            kk = apply_rope(kk, cos, sin)
         vv = vv.reshape(B, 1, Hk, Dh)
 
         attn, ka, va = decode_attention_arena(
             q[:, 0], ka, va, lens + 1, l,
             new_k=kk[:, 0], new_v=vv[:, 0],
             k_scale=kv_scale, v_scale=kv_scale,
-            window=window, softcap=softcap,
+            window=window, softcap=softcap, alibi_slopes=slopes,
         )
         x = x + _dot(attn.reshape(B, 1, Hq * Dh), lp["wo"])
 

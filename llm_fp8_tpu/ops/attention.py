@@ -18,14 +18,17 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["attention_ref", "attention", "default_alibi_slopes"]
+__all__ = ["attention_ref", "attention", "default_alibi_slopes",
+           "alibi_slopes_list"]
 
 
-def default_alibi_slopes(nheads: int) -> jax.Array:
-    """Standard ALiBi slope schedule (Press et al.): head i of n gets
-    ``2^(-8(i+1)/n)`` for power-of-two n, with the published interleaving
-    rule for non-power-of-two head counts. Matches the slopes HF/Baichuan/
-    BTLM-style alibi models bake in.
+def alibi_slopes_list(nheads: int) -> list:
+    """Standard ALiBi slope schedule (Press et al.) as plain Python floats:
+    head i of n gets ``2^(-8(i+1)/n)`` for power-of-two n, with the published
+    interleaving rule for non-power-of-two head counts. Matches the slopes
+    HF/Baichuan/BTLM-style alibi models bake in. Python floats so the decode
+    kernels can take them as *static* arguments (compile-time constants — no
+    SMEM reads in the hot loop).
     """
     import math
 
@@ -34,14 +37,17 @@ def default_alibi_slopes(nheads: int) -> jax.Array:
         return [start * (start ** i) for i in range(n)]
 
     if math.log2(nheads).is_integer():
-        slopes = pow2_slopes(nheads)
-    else:
-        closest = 2 ** math.floor(math.log2(nheads))
-        slopes = (
-            pow2_slopes(closest)
-            + pow2_slopes(2 * closest)[0::2][: nheads - closest]
-        )
-    return jnp.asarray(slopes, jnp.float32)
+        return pow2_slopes(nheads)
+    closest = 2 ** math.floor(math.log2(nheads))
+    return (
+        pow2_slopes(closest)
+        + pow2_slopes(2 * closest)[0::2][: nheads - closest]
+    )
+
+
+def default_alibi_slopes(nheads: int) -> jax.Array:
+    """:func:`alibi_slopes_list` as an f32 array (the flash-kernel form)."""
+    return jnp.asarray(alibi_slopes_list(nheads), jnp.float32)
 
 
 def _build_mask(

@@ -111,6 +111,64 @@ def test_window_and_softcap():
         )
 
 
+@pytest.mark.parametrize("groups", [1, 4])
+def test_alibi(groups):
+    """ALiBi bias in-kernel vs the golden ref (Baichuan-13B's decode path)."""
+    from llm_fp8_tpu.ops.attention import alibi_slopes_list
+
+    B, S, Hk, D = 2, 256, 2, 64
+    Hq = Hk * groups
+    q, ka, va = make_case(jax.random.PRNGKey(20), B, S, Hq, Hk, D)
+    lens = jnp.asarray([256, 140], jnp.int32)
+    slopes = tuple(alibi_slopes_list(Hq))
+
+    got = decode_attention_arena(
+        q, ka, va, lens, 0, alibi_slopes=slopes, chunk=128
+    )
+    want = attention_ref(
+        q[:, None], dequant(ka, 1.0), dequant(va, 1.0),
+        causal=True, q_offset=lens - 1, kv_lens=lens,
+        alibi_slopes=jnp.asarray(slopes, jnp.float32),
+    )[:, 0]
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_forward_decode_arena_alibi_matches_kvcache_path():
+    """Whole-model on the ALiBi family (debug-baichuan): the fused-arena
+    decode logits must match the plain KVCache path, which carries the bias
+    through the XLA decode fast path."""
+    from llm_fp8_tpu.models import get_config, init_params, init_kv_cache
+    from llm_fp8_tpu.models.llama import forward, forward_decode_arena
+
+    cfg = get_config("debug-baichuan")
+    params = init_params(cfg, jax.random.PRNGKey(21), dtype=jnp.float32)
+    B, S = 2, 128
+    prompt = jax.random.randint(jax.random.PRNGKey(22), (B, 17), 1, 100)
+
+    cache = init_kv_cache(cfg, B, S, dtype=jnp.float8_e4m3fn)
+    logits_ref, cache = forward(
+        params, prompt, cfg, cache=cache, start_pos=0,
+        kv_lens=jnp.full((B,), 17, jnp.int32), attn_impl="ref",
+    )
+    lens = jnp.full((B,), 17, jnp.int32)
+
+    ka = cache.k.transpose(0, 1, 3, 4, 2)  # [L, B, Hk, D, S]
+    va = cache.v.transpose(0, 1, 3, 4, 2)
+    tok = jnp.argmax(logits_ref[:, -1], -1).astype(jnp.int32)[:, None]
+
+    logits_a, ka, va = forward_decode_arena(
+        params, tok, cfg, ka, va, lens, compute_dtype=jnp.float32
+    )
+    logits_b, cache = forward(
+        params, tok, cfg, cache=cache, start_pos=lens, kv_lens=lens + 1,
+        attn_impl="ref",
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_a[:, 0]), np.asarray(logits_b[:, 0]),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
 def test_layer_indexing():
     B, S, Hk, D, L = 2, 128, 2, 64, 3
     key = jax.random.PRNGKey(4)

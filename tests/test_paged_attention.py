@@ -70,6 +70,28 @@ class TestPagedAttention:
         )
         assert rel < 0.1, rel
 
+    @pytest.mark.parametrize("Hq,Hk", [(8, 8), (8, 2)])
+    def test_alibi(self, Hq, Hk):
+        """ALiBi bias in the paged kernel (Baichuan-13B paged serving)."""
+        from llm_fp8_tpu.ops.attention import alibi_slopes_list
+
+        B, D, page, max_pages = 2, 64, 128, 3
+        lengths = np.array([130, 384], np.int32)
+        kp, vp, tables, kc, vc = build_paged(7, B, Hq, Hk, D, page, max_pages,
+                                             lengths)
+        q = jax.random.normal(jax.random.PRNGKey(8), (B, Hq, D), jnp.float32)
+        slopes = tuple(alibi_slopes_list(Hq))
+        got = paged_attention(q, kp, vp, jnp.asarray(lengths), tables,
+                              alibi_slopes=slopes)
+        want = attention_ref(
+            q[:, None], kc, vc, causal=True,
+            q_offset=jnp.asarray(lengths) - 1, kv_lens=jnp.asarray(lengths),
+            alibi_slopes=jnp.asarray(slopes, jnp.float32),
+        )[:, 0]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+        )
+
     def test_zero_length_sequence(self):
         B, Hq, Hk, D, page, max_pages = 2, 4, 2, 64, 128, 2
         lengths = np.array([0, 128], np.int32)
