@@ -52,22 +52,32 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from llm_fp8_tpu.models import (
-        get_config, init_params, load_hf_checkpoint, quantize_params,
+        MODEL_REGISTRY, load_hf_checkpoint, resolve_model,
     )
+    from llm_fp8_tpu.models.llama import forward as llama_forward
     from llm_fp8_tpu.quant import recipe_set_by_name
     from llm_fp8_tpu.serving import Engine, EngineConfig, SamplingParams
     from llm_fp8_tpu.utils.monitor import device_memory_stats
 
-    cfg = get_config(args.model_name)
+    # Any zoo decoder serves through the same engine (the reference's shared
+    # generate() contract); llama-family names additionally support real
+    # checkpoints and the paged/fused-arena fast paths.
+    entry = resolve_model(args.model_name)
+    cfg = entry.cfg
     dtype = jnp.bfloat16
     if args.random_init or args.weights_path is None:
-        params = init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
-    else:
+        params = entry.init_fn(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    elif args.model_name in MODEL_REGISTRY:
         params = load_hf_checkpoint(args.weights_path, cfg, dtype=dtype)
+    else:
+        raise SystemExit(
+            f"--weights_path is currently supported for the Llama/Qwen "
+            f"family; use the family pack_* loaders for {args.model_name}"
+        )
     if args.precision == "fp8":
-        params = quantize_params(params, recipe_set_by_name(args.fp8_scenario))
+        params = entry.quantize_fn(params, recipe_set_by_name(args.fp8_scenario))
     elif args.precision == "int8":
-        params = quantize_params(params, recipe_set_by_name("int8"))
+        params = entry.quantize_fn(params, recipe_set_by_name("int8"))
 
     from llm_fp8_tpu.utils.backend import resolve_kv_dtype
 
@@ -75,6 +85,11 @@ def main(argv=None):
     if args.paged:
         from llm_fp8_tpu.serving.paged_engine import PagedEngine, PagedEngineConfig
 
+        if entry.forward_fn is not llama_forward:
+            raise SystemExit(
+                "--paged uses the Llama-family paged decode path; serve "
+                f"{args.model_name} through the default (arena) engine"
+            )
         eng = PagedEngine(
             params, cfg,
             PagedEngineConfig(
@@ -91,6 +106,7 @@ def main(argv=None):
                 max_slots=args.max_slots, max_seq_len=args.max_seq_len,
                 kv_dtype=kv_dtype,
             ),
+            forward_fn=entry.forward_fn,
         )
     rng = np.random.RandomState(0)
     sp = SamplingParams(

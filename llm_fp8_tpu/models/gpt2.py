@@ -341,24 +341,38 @@ def gpt2_forward(
     tokens: jax.Array,
     cfg: GPT2Config,
     *,
+    cache=None,  # llama.KVCache — same arena layout for every family
+    start_pos: jax.Array | int = 0,
+    kv_lens=None,
     attn_impl: str = "auto",
     compute_dtype=jnp.float32,
-) -> jax.Array:
-    """``tokens [B, S] -> logits [B, S, V]`` (training/eval forward)."""
+):
+    """``tokens [B, S] -> logits [B, S, V]`` (cache=None: training/eval).
+
+    With ``cache`` (a :class:`llm_fp8_tpu.models.llama.KVCache`), runs the
+    prefill/decode step exactly like the Llama family's ``forward`` —
+    positions taken at ``start_pos``, K/V appended per-sequence, attention
+    masked to ``kv_lens`` — so the serving Engine can drive any zoo decoder
+    (the reference gives every GPT-class model the same ``generate()``,
+    ``flash_attn/utils/generation.py:99-208``). Returns ``(logits, cache)``
+    when a cache is passed, bare ``logits`` otherwise.
+    """
     B, S = tokens.shape
     D, H, Hk, Dh = cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = jnp.take(params["wte"], tokens, axis=0).astype(compute_dtype)
     if cfg.mup_embeddings_multiplier != 1.0:
         # muP embedding scale (reference gpt.py:431, applied at embed output).
         x = x * cfg.mup_embeddings_multiplier
+    start_pos = jnp.broadcast_to(jnp.asarray(start_pos, jnp.int32), (B,))
     if cfg.use_alibi:
         from llm_fp8_tpu.ops.attention import default_alibi_slopes
 
         slopes = default_alibi_slopes(H)  # no learned position table
     else:
         slopes = None
-        pos = jnp.arange(S) + cfg.pos_offset
-        x = x + jnp.take(params["wpe"], pos, axis=0)[None].astype(x.dtype)
+        pos = (start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
+               + cfg.pos_offset)
+        x = x + jnp.take(params["wpe"], pos, axis=0).astype(x.dtype)
     # muP attention scale: 1/d instead of 1/sqrt(d) (gpt.py:65).
     attn_scale = (1.0 / Dh) if cfg.mup_scale_qk_dot_by_d else None
 
@@ -368,15 +382,25 @@ def gpt2_forward(
             return jax.nn.relu(h32).astype(h.dtype)
         return jax.nn.gelu(h32, approximate=True).astype(h.dtype)
 
-    def body(x, lp):
+    def body(carry, lp_l):
+        x, ck, cv = carry
+        lp, scales_l = lp_l
         h = layernorm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
         qkv = _dot(h, lp["w_qkv"]) + lp["b_qkv"].astype(x.dtype)
         q, k, v = jnp.split(qkv, [D, D + cfg.kv_dim], axis=-1)
         q = q.reshape(B, S, H, Dh)
         k = k.reshape(B, S, Hk, Dh)
         v = v.reshape(B, S, Hk, Dh)
-        a = attention(q, k, v, causal=True, impl=attn_impl,
-                      scale=attn_scale, alibi_slopes=slopes)
+        if ck is None:
+            a = attention(q, k, v, causal=True, impl=attn_impl,
+                          scale=attn_scale, alibi_slopes=slopes)
+        else:
+            from llm_fp8_tpu.models.llama import cache_append_attend
+
+            a, (ck, cv) = cache_append_attend(
+                q, k, v, (ck, cv) + scales_l, start_pos, kv_lens,
+                attn_impl=attn_impl, scale=attn_scale, alibi_slopes=slopes,
+            )
         x = x + _dot(a.reshape(B, S, D), lp["w_out"]) + lp["b_out"].astype(x.dtype)
 
         h = layernorm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
@@ -387,9 +411,24 @@ def gpt2_forward(
         else:
             h = act(h)
         x = x + _dot(h, lp["w_proj"]) + lp["b_proj"].astype(x.dtype)
-        return x, None
+        return (x, ck, cv), None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    new_cache = None
+    if cache is None:
+        (x, _, _), _ = jax.lax.scan(
+            body, (x, None, None), (params["layers"], ())
+        )
+    else:
+        from llm_fp8_tpu.models.llama import KVCache
+
+        L = cache.k.shape[0]
+        xs = (params["layers"],
+              (cache.k_scale, cache.v_scale, jnp.arange(L, dtype=jnp.int32)))
+        (x, new_k, new_v), _ = jax.lax.scan(body, (x, cache.k, cache.v), xs)
+        new_cache = KVCache(
+            k=new_k, v=new_v, lens=jnp.maximum(cache.lens, start_pos + S),
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
+        )
     x = layernorm(x, params["lnf_w"], params["lnf_b"], cfg.ln_eps)
     logits = jnp.dot(
         x, params["wte"].T.astype(x.dtype), preferred_element_type=jnp.float32
@@ -398,4 +437,6 @@ def gpt2_forward(
     if out_scale != 1.0:
         # muP logits scale (gpt.py:596-598: output_multiplier * width_scale).
         logits = logits * out_scale
-    return logits
+    if cache is None:
+        return logits
+    return logits, new_cache

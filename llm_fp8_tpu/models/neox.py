@@ -330,21 +330,35 @@ def neox_forward(
     tokens: jax.Array,
     cfg: NeoXConfig,
     *,
+    cache=None,  # llama.KVCache — same arena layout for every family
+    start_pos: jax.Array | int = 0,
+    kv_lens=None,
     attn_impl: str = "auto",
     compute_dtype=jnp.float32,
-) -> jax.Array:
-    """``tokens [B, S] -> logits [B, S, V]`` (training/eval forward)."""
+):
+    """``tokens [B, S] -> logits [B, S, V]`` (cache=None: training/eval).
+
+    With ``cache`` (a :class:`llm_fp8_tpu.models.llama.KVCache`), runs the
+    prefill/decode step exactly like the Llama family's ``forward`` (rope at
+    ``start_pos``, per-sequence K/V append, ``kv_lens`` masking), so the
+    serving Engine can drive NeoX/Falcon/GPT-J decoders (the reference's
+    shared ``generate()``, ``flash_attn/utils/generation.py:99-208``).
+    Returns ``(logits, cache)`` when a cache is passed, bare ``logits``
+    otherwise.
+    """
     B, S = tokens.shape
     D, Hq, Hk, Dh = cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = jnp.take(params["wte"], tokens, axis=0).astype(compute_dtype)
 
+    start_pos = jnp.broadcast_to(jnp.asarray(start_pos, jnp.int32), (B,))
+    positions = start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
     inv_freq = rope_frequencies(cfg.rotary_dim, cfg.rotary_base)
-    cos, sin = rope_cos_sin(jnp.arange(S)[None], inv_freq)
+    cos, sin = rope_cos_sin(positions, inv_freq)
 
     def bias(lp, name, like):
         return lp[name].astype(like.dtype) if name in lp else 0.0
 
-    def attn_branch(h, lp):
+    def attn_branch(h, lp, ck, cv, scales_l):
         qkv = _dot(h, lp["w_qkv"]) + bias(lp, "b_qkv", h)
         q, k, v = jnp.split(
             qkv, [Hq * Dh, Hq * Dh + Hk * Dh], axis=-1
@@ -354,8 +368,18 @@ def neox_forward(
         v = v.reshape(B, S, Hk, Dh)
         q = _partial_rope(q, cos, sin, cfg.rotary_dim, cfg.rope_interleaved)
         k = _partial_rope(k, cos, sin, cfg.rotary_dim, cfg.rope_interleaved)
-        a = attention(q, k, v, causal=True, impl=attn_impl)
-        return _dot(a.reshape(B, S, Hq * Dh), lp["w_out"]) + bias(lp, "b_out", h)
+        if ck is None:
+            a = attention(q, k, v, causal=True, kv_lens=kv_lens,
+                          impl=attn_impl)
+        else:
+            from llm_fp8_tpu.models.llama import cache_append_attend
+
+            a, (ck, cv) = cache_append_attend(
+                q, k, v, (ck, cv) + scales_l, start_pos, kv_lens,
+                attn_impl=attn_impl,
+            )
+        out = _dot(a.reshape(B, S, Hq * Dh), lp["w_out"]) + bias(lp, "b_out", h)
+        return out, ck, cv
 
     def mlp_branch(h, lp):
         h = _dot(h, lp["w_fc"]) + bias(lp, "b_fc", h)
@@ -364,20 +388,39 @@ def neox_forward(
         ).astype(compute_dtype)
         return _dot(h, lp["w_proj"]) + bias(lp, "b_proj", h)
 
-    def body(x, lp):
+    def body(carry, lp_l):
+        x, ck, cv = carry
+        lp, scales_l = lp_l
         h1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
         if cfg.parallel_residual:
             h2 = h1 if cfg.tied_norm else layernorm(
                 x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps
             )
-            x = x + attn_branch(h1, lp) + mlp_branch(h2, lp)
+            a, ck, cv = attn_branch(h1, lp, ck, cv, scales_l)
+            x = x + a + mlp_branch(h2, lp)
         else:
-            x = x + attn_branch(h1, lp)
+            a, ck, cv = attn_branch(h1, lp, ck, cv, scales_l)
+            x = x + a
             h2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
             x = x + mlp_branch(h2, lp)
-        return x, None
+        return (x, ck, cv), None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    new_cache = None
+    if cache is None:
+        (x, _, _), _ = jax.lax.scan(
+            body, (x, None, None), (params["layers"], ())
+        )
+    else:
+        from llm_fp8_tpu.models.llama import KVCache
+
+        L = cache.k.shape[0]
+        xs = (params["layers"],
+              (cache.k_scale, cache.v_scale, jnp.arange(L, dtype=jnp.int32)))
+        (x, new_k, new_v), _ = jax.lax.scan(body, (x, cache.k, cache.v), xs)
+        new_cache = KVCache(
+            k=new_k, v=new_v, lens=jnp.maximum(cache.lens, start_pos + S),
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
+        )
     x = layernorm(x, params["lnf_w"], params["lnf_b"], cfg.ln_eps)
     head = params["wte"] if cfg.tie_word_embeddings else params["lm_head"]
     logits = jnp.dot(
@@ -385,4 +428,6 @@ def neox_forward(
     ).astype(jnp.float32)
     if "lm_head_b" in params:
         logits = logits + params["lm_head_b"].astype(jnp.float32)
-    return logits
+    if cache is None:
+        return logits
+    return logits, new_cache

@@ -1,0 +1,107 @@
+"""Unified zoo resolver: one name -> (config, init, forward, quantize).
+
+The reference dispatches every architecture through one ``GPTLMHeadModel``
+plus per-family config translators (``flash_attn/models/gpt.py`` +
+``gpt_neox.py``/``opt.py``/...); here each family is its own module and this
+registry is the single entry point the CLIs and the serving Engine use to
+drive any of them.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple
+
+import jax.numpy as jnp
+
+from llm_fp8_tpu.quant import RecipeSet, quantize
+
+__all__ = ["ZooEntry", "resolve_model", "zoo_model_names",
+           "quantize_zoo_params"]
+
+
+class ZooEntry(NamedTuple):
+    cfg: Any
+    init_fn: Callable
+    forward_fn: Callable
+    quantize_fn: Callable  # (params, RecipeSet) -> params
+
+
+#: Both the GPT-2 and NeoX family modules use the same stacked layer leaf
+#: names for their four GEMM sites; map them to recipe-set roles (the same
+#: role split the Llama family's quantize_params uses).
+_ZOO_SITES = {
+    "w_qkv": "attn_qkv",
+    "w_out": "attn_out",
+    "w_fc": "mlp",
+    "w_proj": "mlp",
+}
+
+
+def quantize_zoo_params(params: Dict[str, Any], recipes: RecipeSet,
+                        sites: Dict[str, str] = _ZOO_SITES) -> Dict[str, Any]:
+    """Prequantize a GPT-2/NeoX-family param tree's GEMM weights.
+
+    Same scale-baking pass as ``models.llama.quantize_params`` (per-output-
+    channel scales on the stacked ``[L, K, N]`` weights; norms, embeddings
+    and biases stay high precision).
+    """
+    from llm_fp8_tpu.quant import quantize_mx
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name, role in sites.items():
+        recipe = recipes.for_role(role)
+        if recipe is None or name not in layers:
+            continue
+        wv = layers[name]
+        if recipe.granularity == "block32":
+            layers[name] = quantize_mx(
+                wv.astype(jnp.float32), recipe.fmt_fwd, block_axis=1
+            )
+        else:
+            layers[name] = quantize(
+                wv.astype(jnp.float32), recipe.fmt_fwd, axes=(1,),
+                margin=recipe.margin,
+            )
+    out["layers"] = layers
+    return out
+
+
+def resolve_model(name: str) -> ZooEntry:
+    """Look ``name`` up across every family registry."""
+    from llm_fp8_tpu.models.config import MODEL_REGISTRY, get_config
+
+    if name in MODEL_REGISTRY:
+        from llm_fp8_tpu.models.llama import (
+            init_params, forward, quantize_params,
+        )
+
+        return ZooEntry(get_config(name), init_params, forward,
+                        quantize_params)
+
+    from llm_fp8_tpu.models.gpt2 import (
+        GPT2_REGISTRY, init_gpt2_params, gpt2_forward,
+    )
+
+    if name in GPT2_REGISTRY:
+        return ZooEntry(GPT2_REGISTRY[name], init_gpt2_params, gpt2_forward,
+                        quantize_zoo_params)
+
+    from llm_fp8_tpu.models.neox import (
+        NEOX_REGISTRY, init_neox_params, neox_forward,
+    )
+
+    if name in NEOX_REGISTRY:
+        return ZooEntry(NEOX_REGISTRY[name], init_neox_params, neox_forward,
+                        quantize_zoo_params)
+
+    raise ValueError(
+        f"unknown model {name!r}; known: {sorted(zoo_model_names())}"
+    )
+
+
+def zoo_model_names() -> list:
+    from llm_fp8_tpu.models.config import MODEL_REGISTRY
+    from llm_fp8_tpu.models.gpt2 import GPT2_REGISTRY
+    from llm_fp8_tpu.models.neox import NEOX_REGISTRY
+
+    return [*MODEL_REGISTRY, *GPT2_REGISTRY, *NEOX_REGISTRY]

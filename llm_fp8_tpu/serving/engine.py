@@ -86,18 +86,33 @@ class Engine:
         *,
         eos_token_id: Optional[int] = None,
         mesh=None,
+        forward_fn=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — params should already be
         sharded (``parallel.shard_params``); the KV arena is placed per
         ``parallel.kv_cache_spec`` and the decode step runs GSPMD-sharded
         (tensor-parallel serving across the slice — the reference's
-        ``tensor_parallel`` decode argument, ``generation.py:606-740``)."""
+        ``tensor_parallel`` decode argument, ``generation.py:606-740``).
+
+        ``forward_fn``: the family forward (default: the Llama family's
+        ``forward``). Any zoo decoder with the shared cache signature
+        ``fn(params, tokens, cfg, cache=, start_pos=, kv_lens=, attn_impl=)
+        -> (logits, cache)`` serves through the same engine — the
+        reference's one-``generate()``-for-every-model contract
+        (``flash_attn/utils/generation.py:99-208``)."""
         from llm_fp8_tpu.utils.backend import resolve_kv_dtype
 
         self.params = params
         self.cfg = model_cfg
+        self._forward = forward_fn if forward_fn is not None else forward
+        # Buckets beyond the arena length can't be scattered into it — clip
+        # (and keep at least one bucket so short arenas still serve).
+        buckets = tuple(
+            b for b in engine_cfg.prefill_buckets if b <= engine_cfg.max_seq_len
+        ) or (engine_cfg.max_seq_len,)
         engine_cfg = dataclasses.replace(
-            engine_cfg, kv_dtype=resolve_kv_dtype(engine_cfg.kv_dtype)
+            engine_cfg, kv_dtype=resolve_kv_dtype(engine_cfg.kv_dtype),
+            prefill_buckets=buckets,
         )
         self.ecfg = engine_cfg
         self.eos = eos_token_id
@@ -105,10 +120,12 @@ class Engine:
         B, S = engine_cfg.max_slots, engine_cfg.max_seq_len
         # FP8 KV runs the fused-arena path: a lane-major [L, B, Hk, Dh, S]
         # arena decoded by the Pallas kernel (in-VMEM dequant) — see
-        # models/llama.py::forward_decode_arena.
+        # models/llama.py::forward_decode_arena. The arena fast path is
+        # Llama-family-specific; other families store fp8 KV in the plain
+        # KVCache (quantize-on-store via the shared cache_append_attend).
         self._fp8_arena = jnp.dtype(engine_cfg.kv_dtype) in (
             jnp.dtype(jnp.float8_e4m3fn), jnp.dtype(jnp.float8_e5m2)
-        )
+        ) and self._forward is forward
         if self._fp8_arena:
             L, Hk, Dh = (model_cfg.num_layers, model_cfg.num_kv_heads,
                          model_cfg.head_dim)
@@ -192,7 +209,7 @@ class Engine:
         one = init_kv_cache(self.cfg, 1, bucket, dtype=self.ecfg.kv_dtype)
         one = KVCache(one.k, one.v, one.lens,
                       cache.k_scale, cache.v_scale)
-        logits, one = forward(
+        logits, one = self._forward(
             params, tokens[None, :], self.cfg, cache=one, start_pos=0,
             kv_lens=true_len[None], attn_impl=self.ecfg.attn_impl,
         )
@@ -267,7 +284,7 @@ class Engine:
         greedy argmax is computed on-device so the common greedy case costs
         one dispatch instead of one per slot.
         """
-        logits, cache = forward(
+        logits, cache = self._forward(
             params, last_tokens[:, None], self.cfg, cache=cache,
             start_pos=lens, kv_lens=lens + 1, attn_impl=self.ecfg.attn_impl,
         )
