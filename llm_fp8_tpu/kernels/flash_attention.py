@@ -69,6 +69,7 @@ def _fwd_kernel(
     has_segments: bool,
     has_alibi: bool = False,
     dropout_rate: float = 0.0,
+    attention_chunk: Optional[int] = None,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -95,6 +96,16 @@ def _fwd_kernel(
         # Smallest q position must not have scrolled past the tile's k_max.
         q_min = q_off + qi * block_q
         run = jnp.logical_and(run, k_min + block_k - 1 > q_min - window)
+    if attention_chunk is not None:
+        # Tile is dead if it lies entirely outside every row's chunk:
+        # left of the first row's chunk start, or right of the last row's
+        # chunk end (chunked attention, Llama-4 style).
+        q_min = q_off + qi * block_q
+        q_max = q_min + block_q - 1
+        start_min = (q_min // attention_chunk) * attention_chunk
+        end_max = (q_max // attention_chunk) * attention_chunk + attention_chunk
+        run = jnp.logical_and(run, k_min + block_k - 1 >= start_min)
+        run = jnp.logical_and(run, k_min < end_max)
 
     @pl.when(run)
     def _body():
@@ -127,6 +138,13 @@ def _fwd_kernel(
             mask &= k_pos <= q_pos
         if window is not None:
             mask &= k_pos > q_pos - window
+        if attention_chunk is not None:
+            # Chunked attention (Llama-4): attend only inside the query's own
+            # length-C chunk (reference construct_chunk_mask,
+            # flash_attn/utils/testing.py:194-224).
+            chunk_start = (q_pos // attention_chunk) * attention_chunk
+            mask &= k_pos >= chunk_start
+            mask &= k_pos < chunk_start + attention_chunk
         if has_segments:
             # Packed varlen: attend only within the same segment id.
             seg_q = qseg_ref[0, 0]  # [bq]
@@ -186,7 +204,7 @@ def _flash_fwd_call(
     q, k, v, q_offset, kv_lens, q_segment_ids=None, kv_segment_ids=None,
     seed=None, alibi=None,
     *, causal, window, softcap, scale, block_q, block_k, interpret,
-    dropout_rate=0.0,
+    dropout_rate=0.0, attention_chunk=None,
 ):
     """Forward kernel launch; returns (out bshd, lse [B, Hq, Sq_p])."""
     B, Sq, Hq, D = q.shape
@@ -246,6 +264,7 @@ def _flash_fwd_call(
         has_segments=has_segments,
         has_alibi=has_alibi,
         dropout_rate=dropout_rate,
+        attention_chunk=attention_chunk,
     )
 
     out, lse = pl.pallas_call(
@@ -300,7 +319,7 @@ class _FlashCfg:
     """Hashable static config for the custom_vjp nondiff argument."""
 
     __slots__ = ("causal", "window", "softcap", "scale", "block_q", "block_k",
-                 "interpret", "dropout_rate")
+                 "interpret", "dropout_rate", "attention_chunk")
 
     def __init__(self, **kw):
         for k_, v_ in kw.items():
@@ -348,6 +367,7 @@ def _flash_bwd_rule(cfg: _FlashCfg, res, do):
         scale=cfg.scale, q_offset=q_offset, kv_lens=kv_lens,
         q_segment_ids=qseg, kv_segment_ids=kseg,
         dropout_rate=cfg.dropout_rate, seed=seed, alibi=alibi,
+        attention_chunk=cfg.attention_chunk,
         block_q=cfg.block_q, block_k=cfg.block_k, interpret=cfg.interpret,
     )
     zero_int = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
@@ -375,6 +395,7 @@ def flash_attention(
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    attention_chunk: Optional[int] = None,
     dropout_p: float = 0.0,
     dropout_seed: int | jax.Array = 0,
     deterministic: bool = True,
@@ -431,6 +452,7 @@ def flash_attention(
         scale=scale if scale is not None else D ** -0.5,
         block_q=block_q, block_k=block_k, interpret=interpret,
         dropout_rate=float(dropout_p),
+        attention_chunk=attention_chunk,
     )
     return _flash(q, k, v, q_offset, kv_lens, q_segment_ids, kv_segment_ids,
                   seed, alibi_slopes, cfg)

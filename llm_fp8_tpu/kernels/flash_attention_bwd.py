@@ -34,6 +34,7 @@ def _recompute_p_and_ds(
     q, kT, vT, do, lse, di, *, scale, causal, window, softcap,
     q_off, kv_len, qi, ki, block_q, block_k, seg_q=None, seg_k=None,
     dropout_rate=0.0, seed=0, bh=0, alibi_slope=None,
+    attention_chunk=None,
 ):
     """Shared tile math, f32. Returns ``(p_v, ds)``: ``p_v`` is the softmax
     weight actually applied to V in the forward (dropout mask + 1/(1-r)
@@ -63,6 +64,10 @@ def _recompute_p_and_ds(
         mask &= k_pos <= q_pos
     if window is not None:
         mask &= k_pos > q_pos - window
+    if attention_chunk is not None:
+        # Chunked attention (same mask as the forward kernel).
+        chunk_start = (q_pos // attention_chunk) * attention_chunk
+        mask &= (k_pos >= chunk_start) & (k_pos < chunk_start + attention_chunk)
     if seg_q is not None:
         mask &= seg_q[:, None] == seg_k[None, :]
     # p from the saved LSE: exp(z - lse). Fully-masked rows have lse=-inf;
@@ -96,7 +101,7 @@ def _dkv_kernel(
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale, causal, window, softcap, block_q, block_k, num_q_tiles,
-    has_segments, has_alibi, dropout_rate,
+    has_segments, has_alibi, dropout_rate, attention_chunk,
 ):
     b, h = pl.program_id(0), pl.program_id(1)
     ki, qi = pl.program_id(2), pl.program_id(3)
@@ -129,6 +134,7 @@ def _dkv_kernel(
             dropout_rate=dropout_rate, seed=seed_ref[0],
             bh=b * pl.num_programs(1) + h,
             alibi_slope=alibi_ref[b, h] if has_alibi else None,
+            attention_chunk=attention_chunk,
         )
         dtype = q.dtype
         dv_acc[...] += jax.lax.dot(
@@ -151,7 +157,7 @@ def _dq_kernel(
     dq_ref,
     dq_acc,
     *, scale, causal, window, softcap, block_q, block_k, num_k_tiles,
-    has_segments, has_alibi, dropout_rate,
+    has_segments, has_alibi, dropout_rate, attention_chunk,
 ):
     b, h = pl.program_id(0), pl.program_id(1)
     qi, ki = pl.program_id(2), pl.program_id(3)
@@ -186,6 +192,7 @@ def _dq_kernel(
             dropout_rate=dropout_rate, seed=seed_ref[0],
             bh=b * pl.num_programs(1) + h,
             alibi_slope=alibi_ref[b, h] if has_alibi else None,
+            attention_chunk=attention_chunk,
         )
         dq_acc[...] += jax.lax.dot(
             ds.astype(q.dtype), k_ref[0, 0], preferred_element_type=jnp.float32
@@ -213,6 +220,7 @@ def flash_attention_bwd(
     dropout_rate: float = 0.0,
     seed=None,  # [1] int32 dropout seed
     alibi=None,  # [B, Hq] f32 per-head alibi slopes or None
+    attention_chunk: Optional[int] = None,
 ):
     """dq, dk, dv for bshd flash attention.
 
@@ -279,7 +287,7 @@ def flash_attention_bwd(
     common = dict(scale=scale, causal=causal, window=window, softcap=softcap,
                   block_q=block_q, block_k=block_k,
                   has_segments=has_segments, has_alibi=has_alibi,
-                  dropout_rate=dropout_rate)
+                  dropout_rate=dropout_rate, attention_chunk=attention_chunk)
 
     # ---- dK/dV (per q-head, grid: b, h, ki, qi-inner) ----
     dkv = pl.pallas_call(

@@ -60,6 +60,7 @@ def _build_mask(
     batch: int,
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
+    attention_chunk: Optional[int] = None,
 ):
     """Boolean mask [B or 1, 1, q_len, k_len], True = attend.
 
@@ -68,6 +69,10 @@ def _build_mask(
     ``segment_ids``: packed-varlen masking — positions attend only within
     their own segment (the reference's varlen ``cu_seqlens`` semantics,
     expressed the TPU way).
+    ``attention_chunk``: Llama-4-style chunked attention — a query attends
+    only keys in its own length-C chunk, ``floor(q/C) == floor(k/C)``
+    (the reference's ``construct_chunk_mask``,
+    ``flash-attention-2.8.0/flash_attn/utils/testing.py:194-224``).
     """
     q_offset = jnp.asarray(q_offset, jnp.int32)
     if q_offset.ndim == 0:
@@ -80,6 +85,11 @@ def _build_mask(
         mask = mask & (k_pos <= q_pos)
     if window is not None:
         mask = mask & (k_pos > q_pos - window)
+    if attention_chunk is not None:
+        chunk_start = (q_pos // attention_chunk) * attention_chunk
+        mask = mask & (k_pos >= chunk_start) & (
+            k_pos < chunk_start + attention_chunk
+        )
     mask = mask[:, None]  # [B?, 1, q, k]
     if kv_lens is not None:
         valid = k_pos[None] < kv_lens[:, None, None, None]
@@ -106,6 +116,7 @@ def attention_ref(
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    attention_chunk: Optional[int] = None,
     dropout_p: float = 0.0,
     dropout_seed: int | jax.Array = 0,
 ) -> jax.Array:
@@ -150,7 +161,7 @@ def attention_ref(
             slopes[:, :, None, None] * dist[:, None].astype(jnp.float32)
         )
     mask = _build_mask(Sq, Sk, causal, window, q_offset, kv_lens, B,
-                       q_segment_ids, kv_segment_ids)
+                       q_segment_ids, kv_segment_ids, attention_chunk)
     logits = jnp.where(mask, logits, -jnp.inf)
     # Fully-masked rows (can happen with kv_lens=0) must produce zeros, not NaN.
     probs = jax.nn.softmax(logits, axis=-1)
@@ -191,6 +202,7 @@ def decode_attention(
     softcap: Optional[float] = None,
     q_offset: int | jax.Array = 0,
     alibi_slopes: Optional[jax.Array] = None,
+    attention_chunk: Optional[int] = None,
 ) -> jax.Array:
     """Single-token decode attention, GQA-grouped, XLA-fused.
 
@@ -230,6 +242,12 @@ def decode_attention(
         mask &= k_pos[None, :] < kv_lens[:, None]
     if window is not None:
         mask &= k_pos[None, :] > q_pos[:, None] - window
+    if attention_chunk is not None:
+        # Llama-4 chunked attention: attend only within the query's own
+        # length-C chunk (upper bound subsumed by causal).
+        mask &= k_pos[None, :] >= (
+            (q_pos[:, None] // attention_chunk) * attention_chunk
+        )
     s = jnp.where(mask[:, None, None, :], s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     p = jnp.where(jnp.isnan(p), 0.0, p)
@@ -252,6 +270,7 @@ def attention(
     q_offset: int | jax.Array = 0,
     kv_lens: Optional[jax.Array] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    attention_chunk: Optional[int] = None,
     dropout_p: float = 0.0,
     dropout_seed: int | jax.Array = 0,
     impl: str = "auto",
@@ -321,6 +340,7 @@ def attention(
         return decode_attention(
             q, k, v, scale=scale, kv_lens=kv_lens, window=window,
             softcap=softcap, q_offset=q_offset, alibi_slopes=alibi_slopes,
+            attention_chunk=attention_chunk,
         )
     if impl == "flash":
         from llm_fp8_tpu.kernels.flash_attention import flash_attention
@@ -328,12 +348,12 @@ def attention(
         return flash_attention(
             q, k, v, causal=causal, window=window, softcap=softcap,
             scale=scale, q_offset=q_offset, kv_lens=kv_lens,
-            alibi_slopes=alibi_slopes,
+            alibi_slopes=alibi_slopes, attention_chunk=attention_chunk,
             dropout_p=dropout_p, dropout_seed=dropout_seed,
         )
     return attention_ref(
         q, k, v, causal=causal, window=window, softcap=softcap,
         scale=scale, q_offset=q_offset, kv_lens=kv_lens,
-        alibi_slopes=alibi_slopes,
+        alibi_slopes=alibi_slopes, attention_chunk=attention_chunk,
         dropout_p=dropout_p, dropout_seed=dropout_seed,
     )

@@ -121,6 +121,70 @@ class TestFlashForward:
         )
         assert_close(fast, want, q.dtype)
 
+    @pytest.mark.parametrize("chunk_size", [64, 100])
+    def test_attention_chunk(self, chunk_size):
+        """Chunked attention (FA3/FA4 attention_chunk, Llama-4 style): a
+        query attends only inside its own length-C chunk. Golden mask built
+        independently here (the reference's construct_chunk_mask,
+        flash_attn/utils/testing.py:194-224)."""
+        B, S, Hq, Hk, D = 2, 256, 4, 2, 64
+        q, k, v = make_qkv(20, B, S, S, Hq, Hk, D)
+
+        got = flash_attention(q, k, v, causal=True,
+                              attention_chunk=chunk_size)
+        want = attention_ref(q, k, v, causal=True,
+                             attention_chunk=chunk_size)
+        assert_close(got, want, q.dtype)
+
+        # Manual golden: mask = causal & same-chunk, dense softmax.
+        qf = q.astype(jnp.float32) * (D ** -0.5)
+        kf = jnp.repeat(k.astype(jnp.float32), Hq // Hk, axis=2)
+        vf = jnp.repeat(v.astype(jnp.float32), Hq // Hk, axis=2)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
+        pos = np.arange(S)
+        m = (pos[None, :] <= pos[:, None]) & (
+            (pos[None, :] // chunk_size) == (pos[:, None] // chunk_size)
+        )
+        logits = jnp.where(jnp.asarray(m)[None, None], logits, -jnp.inf)
+        manual = jnp.einsum(
+            "bhqk,bkhd->bqhd", jax.nn.softmax(logits, -1), vf
+        )
+        assert_close(got, manual, q.dtype)
+
+    def test_attention_chunk_decode(self):
+        # Decode at absolute position 200 with chunk 128: only keys
+        # [128, 200] are visible.
+        from llm_fp8_tpu.ops.attention import decode_attention
+
+        q, k, v = make_qkv(21, 1, 1, 256, 4, 2, 64)
+        lens = jnp.array([201], jnp.int32)
+        got = decode_attention(q, k, v, q_offset=200, kv_lens=lens,
+                               attention_chunk=128)
+        want = attention_ref(q, k, v, causal=True, q_offset=200,
+                             kv_lens=lens, attention_chunk=128)
+        assert_close(got[:, 0], want[:, 0], q.dtype)
+
+    def test_attention_chunk_backward(self):
+        B, S, Hq, Hk, D = 1, 256, 2, 2, 64
+        q, k, v = make_qkv(22, B, S, S, Hq, Hk, D)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(
+                flash_attention(q, k, v, causal=True, attention_chunk=64)
+                .astype(jnp.float32) ** 2
+            )
+
+        def loss_ref(q, k, v):
+            return jnp.sum(
+                attention_ref(q, k, v, causal=True, attention_chunk=64)
+                .astype(jnp.float32) ** 2
+            )
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            assert_close(a, b, q.dtype)
+
     def test_bf16(self):
         q, k, v = make_qkv(6, 1, 256, 256, 4, 2, 64, jnp.bfloat16)
         got = flash_attention(q, k, v, causal=True)
