@@ -79,12 +79,12 @@ def _sync(x):
     np.asarray(leaf.reshape(-1)[:1])
 
 
-def bench_one(cfg, recipes, batch):
+def bench_one(cfg, recipes, batch, remat=True):
     """Median seconds per train step for the given recipe set."""
     trainer = Trainer(
         cfg,
         TrainConfig(
-            recipes=recipes, warmup_steps=1, total_steps=1000, remat=True,
+            recipes=recipes, warmup_steps=1, total_steps=1000, remat=remat,
             adam_mu_dtype="bfloat16",
         ),
     )
@@ -123,6 +123,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="llama-3.2-1b")
     ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--remat", default="full", choices=["full", "dots", "none"],
+                    help="'dots' saves matmul outputs (near-zero recompute "
+                         "tax); 'full' saves nothing (max memory headroom)")
     ap.add_argument("--out", default="docs/BENCH_TRAIN.json")
     args = ap.parse_args()
 
@@ -131,8 +134,9 @@ def main():
     peak = PEAK_FLOPS.get(kind, 197e12)
     flops = model_flops_per_step(cfg, args.batch, SEQ)
 
-    dt_bf16 = bench_one(cfg, "bf16", args.batch)
-    dt_fp8 = bench_one(cfg, "default", args.batch)  # LAYERWISE recipe set
+    remat = {"full": True, "dots": "dots", "none": False}[args.remat]
+    dt_bf16 = bench_one(cfg, "bf16", args.batch, remat=remat)
+    dt_fp8 = bench_one(cfg, "default", args.batch, remat=remat)  # LAYERWISE
 
     tokens = args.batch * SEQ
     result = {
@@ -150,6 +154,7 @@ def main():
         "device_kind": kind,
         "batch": args.batch,
         "seq": SEQ,
+        "remat": args.remat,
         "recipe": "LAYERWISE (attention HYBRID / MLP E4M3, delayed scaling)",
         "note": (
             "v5e has no native fp8 MXU: the fp8 path quantizes/dequantizes "

@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--schedule", type=str, default="linear",
                    choices=["linear", "cosine", "constant"])
     t.add_argument("--grad_clip", type=float, default=1.0)
+    t.add_argument("--remat", type=str, default="none",
+                   choices=["none", "full", "dots"],
+                   help="Per-layer gradient checkpointing: 'full' saves "
+                        "nothing (max memory headroom), 'dots' saves matmul "
+                        "outputs (near-zero recompute tax; measured MFU win)")
 
     m = p.add_argument_group("Mesh (replaces torchrun/DDP/FSDP flags)")
     m.add_argument("--dp", type=int, default=1)
@@ -155,6 +160,7 @@ def main(argv=None):
             grad_clip=args.grad_clip,
             grad_accum=args.gradient_accumulation_steps,
             recipes=recipes,
+            remat={"none": False, "full": True, "dots": "dots"}[args.remat],
         ),
         cp_mesh=mesh if args.cp > 1 else None,
     )

@@ -246,6 +246,24 @@ def init_kv_cache(
 # --------------------------------------------------------------------------
 
 
+def _remat_policy(remat):
+    """Map the remat knob to a jax.checkpoint policy (None = no remat).
+
+    ``True``/"full": save nothing, recompute the whole layer in the backward
+    (max memory saving, ~1/3 extra compute). "dots": save matmul outputs,
+    recompute only the cheap elementwise ops — near-zero recompute FLOPs at
+    a fraction of full activation memory (the measured-MFU-friendly policy).
+    """
+    if remat in (False, None, "none"):
+        return None
+    if remat in (True, "full"):
+        return jax.checkpoint_policies.nothing_saveable
+    if remat == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat policy {remat!r}; "
+                     "use False/'none', True/'full', or 'dots'")
+
+
 def cache_append_attend(
     q: jax.Array,  # [B, S, Hq, Dh]
     kk: jax.Array,  # [B, S, Hk, Dh] new K (post-rope / post-norm)
@@ -471,10 +489,9 @@ def forward(
             )
             return x, (kv if return_kv else None)
 
-        if remat:
-            body = jax.checkpoint(
-                body, policy=jax.checkpoint_policies.nothing_saveable
-            )
+        policy = _remat_policy(remat)
+        if policy is not None:
+            body = jax.checkpoint(body, policy=policy)
         x, kv_out = jax.lax.scan(
             body, x, (lp_stack, jnp.arange(L, dtype=jnp.int32)),
             unroll=unroll,
@@ -764,14 +781,13 @@ def forward_fp8_train(
         )
         return x, amaxes
 
-    if remat:
+    policy = _remat_policy(remat)
+    if policy is not None:
         # Per-layer rematerialization: trade recompute for activation memory
         # (the reference's gradient-checkpointing knob,
         # train_multi_gpu.py:421-430 — here a jax.checkpoint policy on the
         # scan body; FP8 residuals are already saved quantized).
-        body = jax.checkpoint(
-            body, policy=jax.checkpoint_policies.nothing_saveable
-        )
+        body = jax.checkpoint(body, policy=policy)
 
     xs = (params["layers"], scales, sinks)
     x, amaxes = jax.lax.scan(body, x, xs, unroll=unroll)

@@ -57,7 +57,10 @@ class TrainConfig:
     z_loss: float = 0.0
     label_smoothing: float = 0.0
     unroll: int = 1
-    remat: bool = False  # per-layer rematerialization (gradient checkpointing)
+    # Per-layer rematerialization: False/'none' (off), True/'full' (save
+    # nothing), or 'dots' (save matmul outputs, recompute elementwise only —
+    # near-zero recompute tax; see models.llama._remat_policy).
+    remat: bool | str = False
     # Dtype for AdamW's first moment (None = fp32). bf16 halves the largest
     # optimizer buffer — the single-chip memory knob standing in for the
     # reference's FSDP MixedPrecision policy (train_multi_gpu.py:414-419).

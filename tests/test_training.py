@@ -142,7 +142,8 @@ class TestFp8TrainStep:
             rtol=1e-4, atol=1e-5,
         )
 
-    def test_remat_same_loss_and_grads(self):
+    @pytest.mark.parametrize("policy", [True, "dots"])
+    def test_remat_same_loss_and_grads(self, policy):
         params = init_params(CFG, jax.random.PRNGKey(8), dtype=jnp.float32)
         batch = batch_of(3)
         import dataclasses as dc
@@ -150,7 +151,7 @@ class TestFp8TrainStep:
         base = TrainConfig(learning_rate=1e-3, warmup_steps=1,
                            recipes="default")
         a = Trainer(CFG, base, attn_impl="ref")
-        b = Trainer(CFG, dc.replace(base, remat=True), attn_impl="ref")
+        b = Trainer(CFG, dc.replace(base, remat=policy), attn_impl="ref")
         sa = a.init_state(jax.tree_util.tree_map(jnp.copy, params))
         sb = b.init_state(jax.tree_util.tree_map(jnp.copy, params))
         sa, ma = a.train_step(sa, batch)
