@@ -96,7 +96,10 @@ def main(argv=None):
     if args.multihost:
         jax.distributed.initialize()
 
-    from llm_fp8_tpu.models import get_config, init_params, load_hf_checkpoint
+    from llm_fp8_tpu.models import (
+        MODEL_REGISTRY, load_hf_checkpoint, resolve_model,
+    )
+    from llm_fp8_tpu.models.llama import forward as llama_forward
     from llm_fp8_tpu.parallel import MeshConfig, make_mesh, shard_params, batch_spec
     from llm_fp8_tpu.training import (
         TrainConfig, Trainer, DataConfig, DataManager, StabilityTracker,
@@ -107,8 +110,17 @@ def main(argv=None):
     from llm_fp8_tpu.utils.monitor import StepTimer, device_memory_stats
     from jax.sharding import NamedSharding
 
-    cfg = get_config(args.model_name)
+    # Any zoo decoder trains through the same harness (the reference's one
+    # training dir for the zoo); FP8 recipes implement the Llama/Qwen stack.
+    entry = resolve_model(args.model_name)
+    cfg = entry.cfg
+    is_llama_family = args.model_name in MODEL_REGISTRY
     recipes = args.fp8_scenario if args.mixed_precision == "fp8" else "bf16"
+    if recipes != "bf16" and not is_llama_family:
+        raise SystemExit(
+            "--mixed_precision fp8 implements the Llama/Qwen stack; train "
+            f"{args.model_name} with --mixed_precision bf16"
+        )
 
     # --- data ---
     if args.synthetic_samples:
@@ -142,9 +154,14 @@ def main(argv=None):
 
     # --- model + mesh ---
     if args.random_init or args.weights_path is None:
-        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
-    else:
+        params = entry.init_fn(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    elif is_llama_family:
         params = load_hf_checkpoint(args.weights_path, cfg, dtype=jnp.float32)
+    else:
+        raise SystemExit(
+            f"--weights_path is currently supported for the Llama/Qwen "
+            f"family; use the family pack_* loaders for {args.model_name}"
+        )
     mesh = make_mesh(
         MeshConfig(dp=args.dp, fsdp=args.fsdp, cp=args.cp, tp=args.tp)
     )
@@ -163,6 +180,7 @@ def main(argv=None):
             remat={"none": False, "full": True, "dots": "dots"}[args.remat],
         ),
         cp_mesh=mesh if args.cp > 1 else None,
+        forward_fn=None if is_llama_family else entry.forward_fn,
     )
     state = trainer.init_state(params)
 
@@ -221,7 +239,15 @@ def main(argv=None):
     logger.log_summary(report)
     logger.close()
     os.makedirs(args.output_dir, exist_ok=True)
-    export_hf(jax.device_get(state.params), cfg, args.output_dir)
+    if is_llama_family:
+        export_hf(jax.device_get(state.params), cfg, args.output_dir)
+    else:
+        # Zoo families: save the raw param pytree (HF-layout export is
+        # implemented for the Llama/Qwen family).
+        import pickle
+
+        with open(os.path.join(args.output_dir, "params.pkl"), "wb") as f:
+            pickle.dump(jax.device_get(state.params), f)
     with open(os.path.join(args.output_dir, "stability_report.json"), "w") as f:
         json.dump(report, f, default=str, indent=2)
     print(f"saved model to {args.output_dir}")

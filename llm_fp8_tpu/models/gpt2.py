@@ -32,6 +32,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from llm_fp8_tpu.ops.attention import attention
 from llm_fp8_tpu.ops.layernorm import layernorm
@@ -346,6 +347,10 @@ def gpt2_forward(
     kv_lens=None,
     attn_impl: str = "auto",
     compute_dtype=jnp.float32,
+    remat: bool | str = False,
+    unroll: int = 1,
+    dropout_p: float = 0.0,
+    dropout_seed: jax.Array | int = 0,
 ):
     """``tokens [B, S] -> logits [B, S, V]`` (cache=None: training/eval).
 
@@ -356,6 +361,10 @@ def gpt2_forward(
     (the reference gives every GPT-class model the same ``generate()``,
     ``flash_attn/utils/generation.py:99-208``). Returns ``(logits, cache)``
     when a cache is passed, bare ``logits`` otherwise.
+
+    ``remat``/``unroll``/``dropout_p``: training knobs with the Llama
+    family's semantics (see ``models.llama.forward``) so the shared
+    ``Trainer(forward_fn=…)`` drives this family too.
     """
     B, S = tokens.shape
     D, H, Hk, Dh = cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -382,9 +391,11 @@ def gpt2_forward(
             return jax.nn.relu(h32).astype(h.dtype)
         return jax.nn.gelu(h32, approximate=True).astype(h.dtype)
 
+    seed0 = jnp.asarray(dropout_seed, jnp.int32)
+
     def body(carry, lp_l):
         x, ck, cv = carry
-        lp, scales_l = lp_l
+        lp, aux = lp_l  # aux: layer index (no cache) | (k_s, v_s, l) (cache)
         h = layernorm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
         qkv = _dot(h, lp["w_qkv"]) + lp["b_qkv"].astype(x.dtype)
         q, k, v = jnp.split(qkv, [D, D + cfg.kv_dim], axis=-1)
@@ -393,14 +404,17 @@ def gpt2_forward(
         v = v.reshape(B, S, Hk, Dh)
         if ck is None:
             a = attention(q, k, v, causal=True, impl=attn_impl,
-                          scale=attn_scale, alibi_slopes=slopes)
+                          scale=attn_scale, alibi_slopes=slopes,
+                          dropout_p=dropout_p,
+                          dropout_seed=seed0 + aux * 7919)
         else:
             from llm_fp8_tpu.models.llama import cache_append_attend
 
             a, (ck, cv) = cache_append_attend(
-                q, k, v, (ck, cv) + scales_l, start_pos, kv_lens,
+                q, k, v, (ck, cv) + aux, start_pos, kv_lens,
                 attn_impl=attn_impl, scale=attn_scale, alibi_slopes=slopes,
             )
+        a = checkpoint_name(a, "attn_out")
         x = x + _dot(a.reshape(B, S, D), lp["w_out"]) + lp["b_out"].astype(x.dtype)
 
         h = layernorm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
@@ -415,8 +429,14 @@ def gpt2_forward(
 
     new_cache = None
     if cache is None:
+        from llm_fp8_tpu.models.llama import _remat_policy
+
+        policy = _remat_policy(remat)
+        run = body if policy is None else jax.checkpoint(body, policy=policy)
         (x, _, _), _ = jax.lax.scan(
-            body, (x, None, None), (params["layers"], ())
+            run, (x, None, None),
+            (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+            unroll=unroll,
         )
     else:
         from llm_fp8_tpu.models.llama import KVCache

@@ -26,6 +26,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from llm_fp8_tpu.ops.attention import attention
 from llm_fp8_tpu.ops.rmsnorm import rmsnorm
@@ -259,7 +260,15 @@ def _remat_policy(remat):
     if remat in (True, "full"):
         return jax.checkpoint_policies.nothing_saveable
     if remat == "dots":
-        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        # Matmul outputs are "dots"; the flash-attention Pallas call is not,
+        # so it is additionally saved by its checkpoint_name tag — otherwise
+        # the whole attention kernel re-runs in the backward and most of the
+        # recompute tax remains (measured: 40.7% vs 38.4% MFU without the
+        # tag at 1B, batch 8x512).
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names("attn_out"),
+        )
     raise ValueError(f"unknown remat policy {remat!r}; "
                      "use False/'none', True/'full', or 'dots'")
 
@@ -415,6 +424,9 @@ def _layer_body(
             attn_impl=attn_impl, alibi_slopes=slopes,
         )
 
+    # Tag for the 'dots' remat policy: the flash kernel's output is not a
+    # "dot", so the policy saves it by name (free when remat is off).
+    attn = checkpoint_name(attn, "attn_out")
     attn = attn.reshape(B, S, Hq * Dh)
     o, amaxes["attn_out"] = dots["attn_out"](attn, lp["wo"])
     x = x + o

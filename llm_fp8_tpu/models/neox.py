@@ -32,6 +32,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from llm_fp8_tpu.ops.attention import attention
 from llm_fp8_tpu.ops.layernorm import layernorm
@@ -335,6 +336,10 @@ def neox_forward(
     kv_lens=None,
     attn_impl: str = "auto",
     compute_dtype=jnp.float32,
+    remat: bool | str = False,
+    unroll: int = 1,
+    dropout_p: float = 0.0,
+    dropout_seed: jax.Array | int = 0,
 ):
     """``tokens [B, S] -> logits [B, S, V]`` (cache=None: training/eval).
 
@@ -358,7 +363,9 @@ def neox_forward(
     def bias(lp, name, like):
         return lp[name].astype(like.dtype) if name in lp else 0.0
 
-    def attn_branch(h, lp, ck, cv, scales_l):
+    seed0 = jnp.asarray(dropout_seed, jnp.int32)
+
+    def attn_branch(h, lp, ck, cv, aux):
         qkv = _dot(h, lp["w_qkv"]) + bias(lp, "b_qkv", h)
         q, k, v = jnp.split(
             qkv, [Hq * Dh, Hq * Dh + Hk * Dh], axis=-1
@@ -370,14 +377,16 @@ def neox_forward(
         k = _partial_rope(k, cos, sin, cfg.rotary_dim, cfg.rope_interleaved)
         if ck is None:
             a = attention(q, k, v, causal=True, kv_lens=kv_lens,
-                          impl=attn_impl)
+                          impl=attn_impl, dropout_p=dropout_p,
+                          dropout_seed=seed0 + aux * 7919)
         else:
             from llm_fp8_tpu.models.llama import cache_append_attend
 
             a, (ck, cv) = cache_append_attend(
-                q, k, v, (ck, cv) + scales_l, start_pos, kv_lens,
+                q, k, v, (ck, cv) + aux, start_pos, kv_lens,
                 attn_impl=attn_impl,
             )
+        a = checkpoint_name(a, "attn_out")
         out = _dot(a.reshape(B, S, Hq * Dh), lp["w_out"]) + bias(lp, "b_out", h)
         return out, ck, cv
 
@@ -390,16 +399,16 @@ def neox_forward(
 
     def body(carry, lp_l):
         x, ck, cv = carry
-        lp, scales_l = lp_l
+        lp, aux = lp_l  # aux: layer index (no cache) | (k_s, v_s, l) (cache)
         h1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
         if cfg.parallel_residual:
             h2 = h1 if cfg.tied_norm else layernorm(
                 x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps
             )
-            a, ck, cv = attn_branch(h1, lp, ck, cv, scales_l)
+            a, ck, cv = attn_branch(h1, lp, ck, cv, aux)
             x = x + a + mlp_branch(h2, lp)
         else:
-            a, ck, cv = attn_branch(h1, lp, ck, cv, scales_l)
+            a, ck, cv = attn_branch(h1, lp, ck, cv, aux)
             x = x + a
             h2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
             x = x + mlp_branch(h2, lp)
@@ -407,8 +416,14 @@ def neox_forward(
 
     new_cache = None
     if cache is None:
+        from llm_fp8_tpu.models.llama import _remat_policy
+
+        policy = _remat_policy(remat)
+        run = body if policy is None else jax.checkpoint(body, policy=policy)
         (x, _, _), _ = jax.lax.scan(
-            body, (x, None, None), (params["layers"], ())
+            run, (x, None, None),
+            (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+            unroll=unroll,
         )
     else:
         from llm_fp8_tpu.models.llama import KVCache

@@ -55,6 +55,16 @@ _RULES: Dict[str, tuple] = {
     "norm_mlp": (None, None),
     "q_norm": (None, None),
     "k_norm": (None, None),
+    # GPT-2/NeoX zoo families (models/gpt2.py, models/neox.py) — same
+    # column/row-parallel assignment, their leaf names. Unlisted leaves
+    # (norms, biases on non-sharded dims, position tables) replicate.
+    "wte": (AXIS_TP, AXIS_FSDP),
+    "w_qkv": (None, AXIS_FSDP, AXIS_TP),
+    "b_qkv": (None, AXIS_TP),
+    "w_out": (None, AXIS_TP, AXIS_FSDP),
+    "w_fc": (None, AXIS_FSDP, AXIS_TP),
+    "b_fc": (None, AXIS_TP),
+    "w_proj": (None, AXIS_TP, AXIS_FSDP),
 }
 
 

@@ -145,10 +145,25 @@ class Trainer:
         *,
         attn_impl: str = "auto",
         cp_mesh=None,
+        forward_fn=None,
     ):
+        """``forward_fn``: the family forward (default: the Llama family's).
+        Any zoo decoder with the shared signature
+        ``fn(params, tokens, cfg, attn_impl=, remat=, unroll=, dropout_p=,
+        dropout_seed=) -> logits`` trains through the same Trainer — the
+        reference's one-training-harness-for-the-zoo contract
+        (``flash-attention-2.8.0/training/``). The FP8 recipe path
+        (``forward_fp8_train``) currently implements the Llama/Qwen stack;
+        train other families with ``recipes="bf16"``."""
         self.model_cfg = model_cfg
         self.cfg = train_cfg
         self.recipes: RecipeSet = recipe_set_by_name(train_cfg.recipes)
+        self._fwd = forward_fn if forward_fn is not None else forward
+        if self.recipes.enabled and self._fwd is not forward:
+            raise ValueError(
+                "FP8 recipe training implements the Llama/Qwen family "
+                "stack; train other zoo families with recipes='bf16'"
+            )
         self.attn_impl = attn_impl
         # Context parallelism: a mesh whose "cp" axis is >1 turns every
         # training attention into the ring island (parallel/mesh.py AXIS_CP).
@@ -192,13 +207,17 @@ class Trainer:
                 cp_axis=self.cp_axis, cp_mesh=self.cp_mesh,
             )
         else:
-            logits, _ = forward(
-                params, tokens, self.model_cfg, attn_impl=self.attn_impl,
-                unroll=self.cfg.unroll, remat=self.cfg.remat,
-                dropout_p=self.cfg.attention_dropout,
-                dropout_seed=step,
-                cp_axis=self.cp_axis, cp_mesh=self.cp_mesh,
+            kw = dict(
+                attn_impl=self.attn_impl, unroll=self.cfg.unroll,
+                remat=self.cfg.remat,
+                dropout_p=self.cfg.attention_dropout, dropout_seed=step,
             )
+            if self._fwd is forward:
+                kw.update(cp_axis=self.cp_axis, cp_mesh=self.cp_mesh)
+            out = self._fwd(params, tokens, self.model_cfg, **kw)
+            # Llama-family forward returns (logits, cache); the zoo
+            # forwards return bare logits when no cache is passed.
+            logits = out[0] if isinstance(out, tuple) else out
             amaxes = {}
         loss, n_tokens = causal_lm_loss(
             logits, tokens, mask,
@@ -261,11 +280,11 @@ class Trainer:
         )
 
     def _eval_step_impl(self, params, batch):
-        logits, _ = forward(
-            params, batch["input_ids"], self.model_cfg,
-            attn_impl=self.attn_impl, unroll=self.cfg.unroll,
-            cp_axis=self.cp_axis, cp_mesh=self.cp_mesh,
-        )
+        kw = dict(attn_impl=self.attn_impl, unroll=self.cfg.unroll)
+        if self._fwd is forward:
+            kw.update(cp_axis=self.cp_axis, cp_mesh=self.cp_mesh)
+        out = self._fwd(params, batch["input_ids"], self.model_cfg, **kw)
+        logits = out[0] if isinstance(out, tuple) else out
         loss, n = causal_lm_loss(
             logits, batch["input_ids"], batch.get("attention_mask")
         )

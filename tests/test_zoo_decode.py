@@ -118,6 +118,46 @@ def test_engine_serves_zoo_families(name):
     assert done[0].output == toks, (done[0].output, toks)
 
 
+@pytest.mark.parametrize("name", ["debug-neox", "debug-gpt2"])
+def test_trainer_trains_zoo_families(name):
+    """One Trainer for the zoo: bf16 training (with 'dots' remat and
+    attention dropout plumbed) drives the GPT-2/NeoX families via
+    forward_fn; loss must fall on a memorizable batch."""
+    from llm_fp8_tpu.models import resolve_model
+    from llm_fp8_tpu.training import TrainConfig, Trainer
+
+    entry = resolve_model(name)
+    params = entry.init_fn(entry.cfg, jax.random.PRNGKey(6), dtype=jnp.float32)
+    tr = Trainer(
+        entry.cfg,
+        TrainConfig(recipes="bf16", learning_rate=1e-3, warmup_steps=1,
+                    total_steps=100, remat="dots"),
+        attn_impl="ref", forward_fn=entry.forward_fn,
+    )
+    state = tr.init_state(params)
+    batch = {
+        "input_ids": jax.random.randint(
+            jax.random.PRNGKey(7), (4, 32), 0, entry.cfg.vocab_size
+        ),
+        "attention_mask": jnp.ones((4, 32), jnp.int32),
+    }
+    losses = []
+    for _ in range(8):
+        state, m = tr.train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_trainer_fp8_zoo_raises():
+    from llm_fp8_tpu.models import resolve_model
+    from llm_fp8_tpu.training import TrainConfig, Trainer
+
+    entry = resolve_model("debug-neox")
+    with pytest.raises(ValueError, match="Llama/Qwen"):
+        Trainer(entry.cfg, TrainConfig(recipes="default"),
+                forward_fn=entry.forward_fn)
+
+
 def test_fp8_kv_cache_decode_neox():
     """FP8 arenas work for the non-llama families through the shared
     cache_append_attend (quantize-on-store, descale-on-attend)."""
