@@ -79,7 +79,7 @@ def _sync(x):
     np.asarray(leaf.reshape(-1)[:1])
 
 
-def bench_one(cfg, recipes, batch, remat=True):
+def bench_one(cfg, recipes, batch, remat=True, seq=SEQ):
     """Median seconds per train step for the given recipe set."""
     trainer = Trainer(
         cfg,
@@ -92,8 +92,8 @@ def bench_one(cfg, recipes, batch, remat=True):
     state = trainer.init_state(params)
     del params
     batch_data = {
-        "input_ids": jnp.ones((batch, SEQ), jnp.int32),
-        "attention_mask": jnp.ones((batch, SEQ), jnp.int32),
+        "input_ids": jnp.ones((batch, seq), jnp.int32),
+        "attention_mask": jnp.ones((batch, seq), jnp.int32),
     }
 
     # Donate the carried state: without it the old and new TrainState (incl.
@@ -123,6 +123,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="llama-3.2-1b")
     ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--seq", type=int, default=SEQ)
     ap.add_argument("--remat", default="full", choices=["full", "dots", "none"],
                     help="'dots' saves matmul outputs (near-zero recompute "
                          "tax); 'full' saves nothing (max memory headroom)")
@@ -132,13 +133,14 @@ def main():
     cfg = get_config(args.model)
     kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(kind, 197e12)
-    flops = model_flops_per_step(cfg, args.batch, SEQ)
+    flops = model_flops_per_step(cfg, args.batch, args.seq)
 
     remat = {"full": True, "dots": "dots", "none": False}[args.remat]
-    dt_bf16 = bench_one(cfg, "bf16", args.batch, remat=remat)
-    dt_fp8 = bench_one(cfg, "default", args.batch, remat=remat)  # LAYERWISE
+    dt_bf16 = bench_one(cfg, "bf16", args.batch, remat=remat, seq=args.seq)
+    dt_fp8 = bench_one(cfg, "default", args.batch, remat=remat,
+                       seq=args.seq)  # LAYERWISE
 
-    tokens = args.batch * SEQ
+    tokens = args.batch * args.seq
     result = {
         "metric": "fp8_train_step_vs_bf16_" + args.model.replace("-", "_"),
         "value": round(dt_bf16 / dt_fp8, 3),
@@ -153,7 +155,7 @@ def main():
         "peak_flops_assumed": peak,
         "device_kind": kind,
         "batch": args.batch,
-        "seq": SEQ,
+        "seq": args.seq,
         "remat": args.remat,
         "recipe": "LAYERWISE (attention HYBRID / MLP E4M3, delayed scaling)",
         "note": (

@@ -260,11 +260,11 @@ def _remat_policy(remat):
     if remat in (True, "full"):
         return jax.checkpoint_policies.nothing_saveable
     if remat == "dots":
-        # Matmul outputs are "dots"; the flash-attention Pallas call is not,
-        # so it is additionally saved by its checkpoint_name tag — otherwise
-        # the whole attention kernel re-runs in the backward and most of the
-        # recompute tax remains (measured: 40.7% vs 38.4% MFU without the
-        # tag at 1B, batch 8x512).
+        # Matmul outputs are "dots" and get saved; measured at 1B batch 8x512
+        # this lifts bf16 MFU 38.4% -> 40.7% vs full remat. The flash
+        # attention custom_vjp still recomputes its forward for residuals
+        # (saving its tagged output alone cannot provide lse/q/k/v), so the
+        # remaining gap to remat-off is the attention recompute.
         return jax.checkpoint_policies.save_from_both_policies(
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             jax.checkpoint_policies.save_only_these_names("attn_out"),
