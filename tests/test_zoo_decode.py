@@ -118,6 +118,32 @@ def test_engine_serves_zoo_families(name):
     assert done[0].output == toks, (done[0].output, toks)
 
 
+@pytest.mark.parametrize("recipes,bound", [
+    ("default", 0.05),
+    ("int8", 0.05),
+    # MXFP8's po2 block scales lose up to half a bit per 32-elem block vs
+    # float per-channel scales; the tiny random-init debug model amplifies
+    # that into a slightly larger relative logit error.
+    ("mxfp8", 0.07),
+])
+def test_zoo_quantized_forward_close(recipes, bound):
+    """quantize_zoo_params bakes per-channel/MX scales into the GPT-2/NeoX
+    layer leaves; logits must stay close to the unquantized forward."""
+    from llm_fp8_tpu.models import quantize_zoo_params
+    from llm_fp8_tpu.quant import recipe_set_by_name
+
+    registry, init_fn, fwd = FAMILIES["debug-neox"]
+    cfg = registry["debug-neox"]
+    params = init_fn(cfg, jax.random.PRNGKey(8), dtype=jnp.float32)
+    qparams = quantize_zoo_params(params, recipe_set_by_name(recipes))
+    tokens = jax.random.randint(jax.random.PRNGKey(9), (2, 16), 0, 256)
+    ref = fwd(params, tokens, cfg, attn_impl="ref", compute_dtype=jnp.float32)
+    got = fwd(qparams, tokens, cfg, attn_impl="ref",
+              compute_dtype=jnp.float32)
+    rel = np.linalg.norm(np.asarray(got - ref)) / np.linalg.norm(np.asarray(ref))
+    assert rel < bound, rel
+
+
 @pytest.mark.parametrize("name", ["debug-neox", "debug-gpt2"])
 def test_trainer_trains_zoo_families(name):
     """One Trainer for the zoo: bf16 training (with 'dots' remat and
