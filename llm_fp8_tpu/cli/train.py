@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Per-layer gradient checkpointing: 'full' saves "
                         "nothing (max memory headroom), 'dots' saves matmul "
                         "outputs (near-zero recompute tax; measured MFU win)")
+    t.add_argument("--ce_chunks", type=int, default=0,
+                   help=">1: fuse lm_head into a chunked cross-entropy so "
+                        "the [B,S,vocab] fp32 logits never materialize "
+                        "(Llama family; big memory win at 128k vocab)")
 
     m = p.add_argument_group("Mesh (replaces torchrun/DDP/FSDP flags)")
     m.add_argument("--dp", type=int, default=1)

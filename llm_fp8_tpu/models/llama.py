@@ -458,8 +458,14 @@ def forward(
     dropout_seed: jax.Array | int = 0,
     cp_axis: Optional[str] = None,
     cp_mesh=None,
+    return_hidden: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Forward pass: ``tokens [B, S] -> (logits [B, S, V], updated cache)``.
+
+    ``return_hidden``: skip the lm_head and return the final-norm output
+    ``[B, S, D]`` instead of logits — the chunked-cross-entropy training
+    path projects to vocab chunk-by-chunk itself
+    (:func:`llm_fp8_tpu.training.losses.chunked_causal_lm_loss`).
 
     ``cp_axis``/``cp_mesh``: shard the sequence over a mesh axis and run
     ring attention (context parallelism) — training/eval path only.
@@ -535,8 +541,28 @@ def forward(
         )
 
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    if return_hidden:
+        return x, new_cache
     logits = _lm_head(params, x, cfg)
     return logits, new_cache
+
+
+def lm_head_weight(params, cfg) -> jax.Array:
+    """The ``[D, V]`` lm_head matrix as a plain array (tied → ``embed.T``).
+
+    For the chunked-CE training path, which fuses the vocab projection into
+    the loss. Raises on quantized (serving-layout) params — training params
+    are raw.
+    """
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        w = params["embed"]
+        if isinstance(w, QTensor):
+            raise TypeError("chunked CE needs unquantized embed weights")
+        return w.T
+    lm = params["lm_head"]
+    if isinstance(lm, QTensor):
+        raise TypeError("chunked CE needs an unquantized lm_head")
+    return lm
 
 
 def _lm_head(params, x, cfg):
@@ -763,6 +789,7 @@ def forward_fp8_train(
     remat: bool = False,
     cp_axis: Optional[str] = None,
     cp_mesh=None,
+    return_hidden: bool = False,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """FP8 training forward: quantize-both-operands GEMMs with delayed scales.
 
@@ -805,4 +832,6 @@ def forward_fp8_train(
     x, amaxes = jax.lax.scan(body, x, xs, unroll=unroll)
 
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    if return_hidden:
+        return x, amaxes
     return _lm_head(params, x, cfg), amaxes

@@ -26,9 +26,9 @@ import jax.numpy as jnp
 import optax
 
 from llm_fp8_tpu.models.config import ModelConfig
-from llm_fp8_tpu.models.llama import forward, forward_fp8_train
+from llm_fp8_tpu.models.llama import forward, forward_fp8_train, lm_head_weight
 from llm_fp8_tpu.quant import RecipeSet, recipe_set_by_name
-from .losses import causal_lm_loss
+from .losses import causal_lm_loss, chunked_causal_lm_loss
 from .quant_state import (
     init_train_quant_state,
     forward_scales,
@@ -68,6 +68,10 @@ class TrainConfig:
     # Attention dropout on softmax weights (flash_attn_func's dropout_p);
     # seed varies with the step counter. bf16 recipe path only.
     attention_dropout: float = 0.0
+    # >1: fuse the lm_head projection into a chunked cross-entropy so the
+    # [B, S, vocab] fp32 logits never materialize (the reference's fused
+    # xentropy role, csrc/xentropy). Llama-family forwards only.
+    ce_chunks: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -198,6 +202,10 @@ class Trainer:
     def _forward_loss(self, params, sinks, batch, qstate, step=0):
         tokens = batch["input_ids"]
         mask = batch.get("attention_mask")
+        # Chunked CE skips the in-model lm_head and fuses the projection
+        # into the loss (Llama-family forwards only — the zoo families fall
+        # back to the materialized-logits path).
+        chunked = self.cfg.ce_chunks > 1 and self._fwd is forward
         if self.recipes.enabled:
             scales = forward_scales(qstate, self.model_cfg)
             logits, amaxes = forward_fp8_train(
@@ -205,6 +213,7 @@ class Trainer:
                 attn_impl=self.attn_impl, unroll=self.cfg.unroll,
                 remat=self.cfg.remat,
                 cp_axis=self.cp_axis, cp_mesh=self.cp_mesh,
+                return_hidden=chunked,
             )
         else:
             kw = dict(
@@ -213,17 +222,26 @@ class Trainer:
                 dropout_p=self.cfg.attention_dropout, dropout_seed=step,
             )
             if self._fwd is forward:
-                kw.update(cp_axis=self.cp_axis, cp_mesh=self.cp_mesh)
+                kw.update(cp_axis=self.cp_axis, cp_mesh=self.cp_mesh,
+                          return_hidden=chunked)
             out = self._fwd(params, tokens, self.model_cfg, **kw)
             # Llama-family forward returns (logits, cache); the zoo
             # forwards return bare logits when no cache is passed.
             logits = out[0] if isinstance(out, tuple) else out
             amaxes = {}
-        loss, n_tokens = causal_lm_loss(
-            logits, tokens, mask,
-            z_loss=self.cfg.z_loss,
-            label_smoothing=self.cfg.label_smoothing,
-        )
+        if chunked:
+            loss, n_tokens = chunked_causal_lm_loss(
+                logits, lm_head_weight(params, self.model_cfg), tokens, mask,
+                num_chunks=self.cfg.ce_chunks,
+                z_loss=self.cfg.z_loss,
+                label_smoothing=self.cfg.label_smoothing,
+            )
+        else:
+            loss, n_tokens = causal_lm_loss(
+                logits, tokens, mask,
+                z_loss=self.cfg.z_loss,
+                label_smoothing=self.cfg.label_smoothing,
+            )
         return loss, (n_tokens, amaxes)
 
     def _train_step_impl(self, state: TrainState, batch):
@@ -280,14 +298,23 @@ class Trainer:
         )
 
     def _eval_step_impl(self, params, batch):
+        chunked = self.cfg.ce_chunks > 1 and self._fwd is forward
         kw = dict(attn_impl=self.attn_impl, unroll=self.cfg.unroll)
         if self._fwd is forward:
-            kw.update(cp_axis=self.cp_axis, cp_mesh=self.cp_mesh)
+            kw.update(cp_axis=self.cp_axis, cp_mesh=self.cp_mesh,
+                      return_hidden=chunked)
         out = self._fwd(params, batch["input_ids"], self.model_cfg, **kw)
         logits = out[0] if isinstance(out, tuple) else out
-        loss, n = causal_lm_loss(
-            logits, batch["input_ids"], batch.get("attention_mask")
-        )
+        if chunked:
+            loss, n = chunked_causal_lm_loss(
+                logits, lm_head_weight(params, self.model_cfg),
+                batch["input_ids"], batch.get("attention_mask"),
+                num_chunks=self.cfg.ce_chunks,
+            )
+        else:
+            loss, n = causal_lm_loss(
+                logits, batch["input_ids"], batch.get("attention_mask")
+            )
         return loss * n, n
 
     # ---- loops ----

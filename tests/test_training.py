@@ -55,6 +55,92 @@ class TestLoss:
         np.testing.assert_allclose(float(loss_m), float(loss_f), rtol=1e-5)
 
 
+class TestChunkedLoss:
+    """chunked_causal_lm_loss ≡ lm_head + causal_lm_loss, value and grads."""
+
+    def _setup(self, B=2, S=13, D=16, V=37, seed=0):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+        h = jax.random.normal(ks[0], (B, S, D), jnp.float32)
+        w = jax.random.normal(ks[1], (D, V), jnp.float32) * 0.3
+        tokens = jax.random.randint(ks[2], (B, S), 0, V)
+        mask = (jax.random.uniform(ks[3], (B, S)) > 0.25).astype(jnp.int32)
+        return h, w, tokens, mask
+
+    @pytest.mark.parametrize("num_chunks", [2, 4, 5])  # 5: B*(S-1)%5 != 0
+    @pytest.mark.parametrize("zl,ls", [(0.0, 0.0), (1e-3, 0.1)])
+    def test_matches_unchunked(self, num_chunks, zl, ls):
+        from llm_fp8_tpu.training.losses import chunked_causal_lm_loss
+
+        h, w, tokens, mask = self._setup()
+
+        def ref(h, w):
+            logits = (h @ w).astype(jnp.float32)
+            return causal_lm_loss(
+                logits, tokens, mask, z_loss=zl, label_smoothing=ls
+            )[0]
+
+        def chunked(h, w):
+            return chunked_causal_lm_loss(
+                h, w, tokens, mask, num_chunks=num_chunks,
+                z_loss=zl, label_smoothing=ls,
+            )[0]
+
+        l_ref, (dh_ref, dw_ref) = jax.value_and_grad(ref, argnums=(0, 1))(h, w)
+        l_c, (dh_c, dw_c) = jax.value_and_grad(chunked, argnums=(0, 1))(h, w)
+        np.testing.assert_allclose(float(l_c), float(l_ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dh_c), np.asarray(dh_ref),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dw_c), np.asarray(dw_ref),
+                                   rtol=2e-4, atol=1e-6)
+
+    def test_token_count_matches(self):
+        from llm_fp8_tpu.training.losses import chunked_causal_lm_loss
+
+        h, w, tokens, mask = self._setup(seed=3)
+        _, n_ref = causal_lm_loss((h @ w), tokens, mask)
+        _, n_c = chunked_causal_lm_loss(h, w, tokens, mask, num_chunks=3)
+        assert int(n_ref) == int(n_c)
+
+    def test_ignore_index(self):
+        from llm_fp8_tpu.training.losses import chunked_causal_lm_loss
+        from llm_fp8_tpu.training.losses import IGNORE_INDEX
+
+        h, w, tokens, _ = self._setup(seed=5)
+        tokens = tokens.at[:, 4:7].set(IGNORE_INDEX)
+        l_ref, n_ref = causal_lm_loss((h @ w), tokens)
+        l_c, n_c = chunked_causal_lm_loss(h, w, tokens, num_chunks=4)
+        assert int(n_ref) == int(n_c)
+        np.testing.assert_allclose(float(l_c), float(l_ref), rtol=1e-5)
+
+    @pytest.mark.parametrize("recipes", ["bf16", "default"])
+    def test_trainer_parity(self, recipes):
+        """Full train step with ce_chunks matches the materialized path."""
+        batch = batch_of()
+        params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+        losses = {}
+        for chunks in (0, 4):
+            tr = Trainer(CFG, TrainConfig(
+                recipes=recipes, warmup_steps=1, total_steps=10,
+                ce_chunks=chunks,
+            ))
+            # Fresh copy: the train step donates its state buffers.
+            state = tr.init_state(jax.tree_util.tree_map(jnp.copy, params))
+            for _ in range(3):
+                state, m = tr.train_step(state, batch)
+            losses[chunks] = float(m["loss"])
+            assert int(m["finite"]) == 1
+        np.testing.assert_allclose(losses[4], losses[0], rtol=5e-3)
+
+    def test_trainer_eval_parity(self):
+        batch = batch_of(seed=2)
+        params = init_params(CFG, jax.random.PRNGKey(1), dtype=jnp.float32)
+        evals = {}
+        for chunks in (0, 4):
+            tr = Trainer(CFG, TrainConfig(ce_chunks=chunks))
+            evals[chunks] = tr.evaluate(params, [batch])["eval_loss"]
+        np.testing.assert_allclose(evals[4], evals[0], rtol=1e-4)
+
+
 class TestFp8TrainStep:
     @pytest.mark.parametrize("recipes", ["bf16", "default", "hybrid", "mxfp8"])
     def test_loss_decreases(self, recipes):
