@@ -79,13 +79,13 @@ def _sync(x):
     np.asarray(leaf.reshape(-1)[:1])
 
 
-def bench_one(cfg, recipes, batch, remat=True, seq=SEQ):
+def bench_one(cfg, recipes, batch, remat=True, seq=SEQ, ce_chunks=0):
     """Median seconds per train step for the given recipe set."""
     trainer = Trainer(
         cfg,
         TrainConfig(
             recipes=recipes, warmup_steps=1, total_steps=1000, remat=remat,
-            adam_mu_dtype="bfloat16",
+            adam_mu_dtype="bfloat16", ce_chunks=ce_chunks,
         ),
     )
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
@@ -127,6 +127,9 @@ def main():
     ap.add_argument("--remat", default="full", choices=["full", "dots", "none"],
                     help="'dots' saves matmul outputs (near-zero recompute "
                          "tax); 'full' saves nothing (max memory headroom)")
+    ap.add_argument("--ce_chunks", type=int, default=0,
+                    help=">1: chunked lm_head+cross-entropy fusion — the "
+                         "[B,S,128k] fp32 logits never materialize")
     ap.add_argument("--out", default="docs/BENCH_TRAIN.json")
     args = ap.parse_args()
 
@@ -136,9 +139,10 @@ def main():
     flops = model_flops_per_step(cfg, args.batch, args.seq)
 
     remat = {"full": True, "dots": "dots", "none": False}[args.remat]
-    dt_bf16 = bench_one(cfg, "bf16", args.batch, remat=remat, seq=args.seq)
+    dt_bf16 = bench_one(cfg, "bf16", args.batch, remat=remat, seq=args.seq,
+                        ce_chunks=args.ce_chunks)
     dt_fp8 = bench_one(cfg, "default", args.batch, remat=remat,
-                       seq=args.seq)  # LAYERWISE
+                       seq=args.seq, ce_chunks=args.ce_chunks)  # LAYERWISE
 
     tokens = args.batch * args.seq
     result = {
@@ -157,6 +161,7 @@ def main():
         "batch": args.batch,
         "seq": args.seq,
         "remat": args.remat,
+        "ce_chunks": args.ce_chunks,
         "recipe": "LAYERWISE (attention HYBRID / MLP E4M3, delayed scaling)",
         "note": (
             "v5e has no native fp8 MXU: the fp8 path quantizes/dequantizes "

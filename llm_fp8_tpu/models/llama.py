@@ -261,13 +261,15 @@ def _remat_policy(remat):
         return jax.checkpoint_policies.nothing_saveable
     if remat == "dots":
         # Matmul outputs are "dots" and get saved; measured at 1B batch 8x512
-        # this lifts bf16 MFU 38.4% -> 40.7% vs full remat. The flash
-        # attention custom_vjp still recomputes its forward for residuals
-        # (saving its tagged output alone cannot provide lse/q/k/v), so the
-        # remaining gap to remat-off is the attention recompute.
+        # this lifts bf16 MFU 38.4% -> 40.7% vs full remat. "flash_res" keeps
+        # the flash custom_vjp's own out/lse residuals (named inside
+        # _flash_fwd_rule), so the backward reuses them instead of re-running
+        # the Pallas forward kernel.
         return jax.checkpoint_policies.save_from_both_policies(
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            jax.checkpoint_policies.save_only_these_names("attn_out"),
+            jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "flash_res"
+            ),
         )
     raise ValueError(f"unknown remat policy {remat!r}; "
                      "use False/'none', True/'full', or 'dots'")
