@@ -48,7 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--mixed_precision", type=str, default="bf16",
                    choices=["bf16", "fp8"])
     t.add_argument("--fp8_scenario", type=str, default="default",
-                   choices=["default", "mxfp8", "hybrid"])
+                   choices=["default", "mxfp8", "hybrid", "int8_train"],
+                   help="'int8_train': per-channel int8 GEMMs on the native "
+                        "int8 MXU path (~2x bf16 FLOPs on v5e) — the "
+                        "TPU-native analogue of the reference's fp8 tensor-"
+                        "core speedup")
     t.add_argument("--batch_size", type=int, default=8)
     t.add_argument("--eval_batch_size", type=int, default=None)
     t.add_argument("--max_seq_length", type=int, default=512)

@@ -264,13 +264,24 @@ def _remat_policy(remat):
         # this lifts bf16 MFU 38.4% -> 40.7% vs full remat. "flash_res" keeps
         # the flash custom_vjp's own out/lse residuals (named inside
         # _flash_fwd_rule), so the backward reuses them instead of re-running
-        # the Pallas forward kernel.
-        return jax.checkpoint_policies.save_from_both_policies(
-            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            jax.checkpoint_policies.save_only_these_names(
-                "attn_out", "flash_res"
-            ),
+        # the Pallas forward kernel. "qdot_res"/"qdot_out" do the same for
+        # the native int8 dots (quant/dot.py): their int8 payloads + bf16
+        # outputs are saved while the raw int32 MXU accumulators — 4 bytes
+        # per element, the reason int8_train OOMed under the plain dots
+        # policy — are excluded and recomputed-free (the tagged y replaces
+        # them).
+        dots = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        names = jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "flash_res", "qdot_res", "qdot_out"
         )
+
+        def policy(prim, *args, **params):
+            pet = params.get("preferred_element_type")
+            if pet is not None and jnp.issubdtype(pet, jnp.integer):
+                return False  # raw int32 accumulators: tagged forms suffice
+            return dots(prim, *args, **params) or names(prim, *args, **params)
+
+        return policy
     raise ValueError(f"unknown remat policy {remat!r}; "
                      "use False/'none', True/'full', or 'dots'")
 

@@ -11,6 +11,7 @@ from .recipe import (
     UNIFORM_HYBRID,
     MXFP8_SET,
     INT8_WEIGHTS,
+    INT8_TRAIN,
     BF16_SET,
     recipe_set_by_name,
 )
@@ -21,7 +22,8 @@ __all__ = [
     "Format", "E4M3", "E5M2", "E8M0", "INT8", "format_by_name",
     "QTensor", "quantize", "quantize_mx", "dequantize", "compute_scale", "MX_BLOCK",
     "Recipe", "RecipeSet", "DELAYED_E4M3", "DELAYED_HYBRID", "MXFP8",
-    "LAYERWISE", "UNIFORM_HYBRID", "MXFP8_SET", "INT8_WEIGHTS", "BF16_SET",
+    "LAYERWISE", "UNIFORM_HYBRID", "MXFP8_SET", "INT8_WEIGHTS", "INT8_TRAIN",
+    "BF16_SET",
     "recipe_set_by_name",
     "ScaleState", "init_scale_state", "observe_amax", "current_scale",
     "qdot", "fp8_dot", "DotAmaxes",

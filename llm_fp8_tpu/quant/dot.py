@@ -22,11 +22,13 @@ which XLA fuses well; the bandwidth-optimal fused dequant-matmul lives in
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .formats import Format
 from .qtensor import QTensor, quantize, quantize_mx, compute_scale, MX_BLOCK
@@ -110,7 +112,12 @@ def _q_fwd(t: jax.Array, recipe: Recipe, scale, contract_axis: int) -> QTensor:
                            block_size=MX_BLOCK)
     axes = None
     if recipe.granularity == "channel":
+        # Per-channel is always just-in-time: the per-slice amaxes are one
+        # VPU reduction (cheap on TPU), strictly tighter than a delayed
+        # scalar, and keep the scale constant along the contraction so it
+        # post-applies after the dot (required by the native int8 path).
         axes = (contract_axis,)
+        scale = None
     return quantize(t, recipe.fmt_fwd, axes=axes, scale=scale,
                     margin=recipe.margin)
 
@@ -131,6 +138,45 @@ def _mx_or_tensor(t: jax.Array, fmt, block_axis: int) -> QTensor:
     if t.shape[block_axis] % MX_BLOCK == 0:
         return quantize_mx(t, fmt, block_axis=block_axis, block_size=MX_BLOCK)
     return quantize(t, fmt)
+
+
+def _native_int(recipe: Recipe) -> bool:
+    """True when the recipe's dots can run natively on the int8 MXU.
+
+    v5e's MXU executes int8 x int8 -> int32 at ~2x its bf16 FLOP rate (394
+    TOPS vs 197 TFLOP/s) — the TPU's native narrow-precision compute path,
+    playing the role of the reference hardware's fp8 tensor cores
+    (``paper/conference_101719.tex:247``). Requires integer formats on both
+    passes and scales that are constant along the contraction (tensor/channel
+    granularity), so they post-apply exactly after the int32 accumulation.
+    """
+    return (
+        jnp.issubdtype(recipe.fmt_fwd.dtype, jnp.integer)
+        and jnp.issubdtype(recipe.fmt_bwd.dtype, jnp.integer)
+        and recipe.quantize_activations
+        and recipe.granularity in ("tensor", "channel")
+    )
+
+
+def _int_dot(aq: QTensor, bq: QTensor, out_dtype) -> jax.Array:
+    """``a [..., K] @ b [K, N]`` on the int8 MXU, scales applied after.
+
+    Both scales are constant along the contraction (enforced by the callers'
+    quantization axes), so ``(a*sa) @ (b*sb) == (a@b) * sa * sb`` exactly —
+    the int32 accumulation makes this *more* precise than the semantics
+    path's dequantize-to-bf16 dot.
+    """
+    acc = jax.lax.dot_general(
+        aq.qvalue, bq.qvalue,
+        dimension_numbers=(((aq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    # aq.scale has a trailing 1 on the contraction axis -> broadcasts over
+    # [..., N]; bq.scale is [1, N] (or all-1s) -> flatten to align trailing.
+    y = (acc.astype(jnp.float32)
+         * aq.scale.astype(jnp.float32)
+         * bq.scale.astype(jnp.float32).reshape(-1))
+    return y.astype(out_dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -155,13 +201,17 @@ def _amax_of(t):
 def _fp8_dot_fwd_impl(x, w, x_scale, w_scale, recipe):
     x_amax, w_amax = _amax_of(x), _amax_of(w)
     wq = _q_fwd(w, recipe, w_scale, contract_axis=0)
-    if recipe.quantize_activations:
+    if _native_int(recipe):
+        xq = _q_fwd(x, recipe, x_scale, contract_axis=x.ndim - 1)
+        y = _int_dot(xq, wq, x.dtype)
+    elif recipe.quantize_activations:
         xq = _q_fwd(x, recipe, x_scale, contract_axis=x.ndim - 1)
         xv = xq.dequantize(jnp.bfloat16)
+        y = jnp.dot(xv, wq.dequantize(jnp.bfloat16),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
     else:
-        xv = x.astype(jnp.bfloat16)
-    y = jnp.dot(xv, wq.dequantize(jnp.bfloat16),
-                preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.dot(x.astype(jnp.bfloat16), wq.dequantize(jnp.bfloat16),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
     return y, DotAmaxes(x=x_amax, w=w_amax, g=jnp.zeros((), jnp.float32))
 
 
@@ -174,12 +224,31 @@ def _fp8_dot_fwd(x, w, x_scale, w_scale, amax_sink, recipe):
         x_res = xq
     else:
         x_res = x
-    y = jnp.dot(
-        x_res.dequantize(jnp.bfloat16) if isinstance(x_res, QTensor)
-        else x_res.astype(jnp.bfloat16),
-        wq.dequantize(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    if _native_int(recipe):
+        # Name the quantized residuals so a jax.checkpoint policy can keep
+        # them across the remat boundary (models.llama._remat_policy "dots"):
+        # the saved payloads are int8 — HALF the activation memory a bf16
+        # policy-saved operand would take — and the backward then reuses them
+        # instead of re-running the quantize+dot forward.
+        x_res = dataclasses.replace(
+            x_res,
+            qvalue=checkpoint_name(x_res.qvalue, "qdot_res"),
+            scale=checkpoint_name(x_res.scale, "qdot_res"),
+        )
+        wq = dataclasses.replace(
+            wq,
+            qvalue=checkpoint_name(wq.qvalue, "qdot_res"),
+            scale=checkpoint_name(wq.scale, "qdot_res"),
+        )
+        y = _int_dot(x_res, wq, x.dtype)
+        y = checkpoint_name(y, "qdot_out")
+    else:
+        y = jnp.dot(
+            x_res.dequantize(jnp.bfloat16) if isinstance(x_res, QTensor)
+            else x_res.astype(jnp.bfloat16),
+            wq.dequantize(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     amaxes = DotAmaxes(x=x_amax, w=w_amax, g=jnp.zeros((), jnp.float32))
     # Residuals are the FP8 payloads, not the bf16 operands — same activation
     # memory saving TE realizes by saving quantized copies for backward.
@@ -193,6 +262,47 @@ def _fp8_dot_bwd(recipe: Recipe, res, cts):
     x_dtype, w_dtype = x_proto.dtype, w_proto.dtype
     gy, _ = cts  # cotangent of amaxes is zero/unused
     g_amax = _amax_of(gy)
+
+    if _native_int(recipe):
+        # Both backward GEMMs on the int8 MXU, contracting the *stored* int8
+        # residuals directly — no dequantize, no transpose, no requantize.
+        # The trick is scale folding: the residual's per-channel scale varies
+        # along the backward contraction, so it cannot post-apply — but it
+        # CAN fold into the gradient elementwise before the gradient is
+        # quantized (g·s then absorbs it into g's own JIT scale):
+        #   dx[..,k] = Σ_n g[..,n]·(w8[k,n]·s_w[n]) = Σ_n (g·s_w)[..,n]·w8[k,n]
+        #   dw[k,n]  = Σ_b (x8[b,k]·s_x[b])·g[b,n] = Σ_b x8[b,k]·(g·s_x)[b,n]
+        gy32 = gy.astype(jnp.float32)
+
+        # dx = (g * s_w) @ w8^T, contraction over N with w8 in its stored
+        # [K, N] layout (dot_general contracts n<->n; no transpose pass).
+        g_dx = gy32 * wq.scale.astype(jnp.float32).reshape(-1)
+        gq_dx = quantize(g_dx, recipe.fmt_bwd, axes=(g_dx.ndim - 1,),
+                         margin=recipe.margin)
+        acc = jax.lax.dot_general(
+            gq_dx.qvalue, wq.qvalue,
+            dimension_numbers=(((gq_dx.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        dx = (acc.astype(jnp.float32) * gq_dx.scale).astype(x_dtype)
+
+        # dw = x8^T @ (g * s_x), contraction over the batch rows with x8 in
+        # its stored [..., K] layout.
+        x8 = x_res.qvalue.reshape(-1, x_res.shape[-1])
+        g_dw = (gy32 * x_res.scale.astype(jnp.float32)).reshape(
+            -1, gy.shape[-1])
+        gq_dw = quantize(g_dw, recipe.fmt_bwd, axes=(0,),
+                         margin=recipe.margin)
+        acc = jax.lax.dot_general(
+            x8, gq_dw.qvalue,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        dw = (acc.astype(jnp.float32)
+              * gq_dw.scale.astype(jnp.float32).reshape(-1)).astype(w_dtype)
+
+        zero = jnp.zeros((), jnp.float32)
+        return dx, dw, zero, zero, g_amax
 
     xv = (x_res.dequantize(jnp.bfloat16) if isinstance(x_res, QTensor)
           else x_res.astype(jnp.bfloat16))

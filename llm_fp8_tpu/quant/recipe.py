@@ -25,6 +25,7 @@ __all__ = [
     "UNIFORM_HYBRID",
     "MXFP8_SET",
     "INT8_WEIGHTS",
+    "INT8_TRAIN",
     "BF16_SET",
     "recipe_set_by_name",
 ]
@@ -146,11 +147,31 @@ INT8_WEIGHTS = RecipeSet(
     },
 )
 
+#: Per-channel symmetric int8 on BOTH operands of every matmul, forward and
+#: backward — the TPU-native precision-accelerated *training* recipe. On
+#: v5e-class parts the MXU executes int8×int8→int32 at ~2× its bf16 FLOP
+#: rate, so these GEMMs run on the fast path the way the reference's FP8
+#: GEMMs ride H100 fp8 tensor cores (``paper/conference_101719.tex:247``) —
+#: fp8 cannot do that on v5e (no fp8 MXU; dequant is VPU software). Scales
+#: are just-in-time per-channel (constant along the contraction), applied
+#: exactly after the int32 accumulation (quant/dot.py::_int_dot).
+_INT8_T = Recipe(granularity="channel", fmt_fwd=INT8, fmt_bwd=INT8,
+                 quantize_activations=True)
+INT8_TRAIN = RecipeSet(
+    name="int8_train",
+    default=None,
+    overrides={
+        "attn_qkv": _INT8_T,
+        "attn_out": _INT8_T,
+        "mlp": _INT8_T,
+    },
+)
+
 #: No quantization anywhere — the bf16 baseline.
 BF16_SET = RecipeSet(name="bf16", default=None, overrides={})
 
 _SETS = {s.name: s for s in (LAYERWISE, UNIFORM_HYBRID, MXFP8_SET,
-                             INT8_WEIGHTS, BF16_SET)}
+                             INT8_WEIGHTS, INT8_TRAIN, BF16_SET)}
 # CLI-compatible aliases: the reference calls the layer-wise recipe "default"
 # (fp8_scenario ∈ {default, mxfp8, hybrid}, train_fp8.py:103-116).
 _SETS["default"] = LAYERWISE

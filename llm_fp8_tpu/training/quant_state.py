@@ -41,8 +41,9 @@ def init_train_quant_state(
     state: Dict[str, Dict[str, ScaleState]] = {}
     for site in DOT_SITES:
         recipe = recipes.for_role(SITE_ROLE[site])
-        if recipe is None or recipe.granularity == "block32":
-            # MX block scaling has no delayed state (scales are per-block JIT).
+        if recipe is None or recipe.granularity != "tensor":
+            # Only per-tensor recipes carry delayed state; block (MX) and
+            # per-channel scales are just-in-time per step.
             continue
         state[site] = {
             t: _stacked_state(cfg.num_layers, recipe.amax_history_len)

@@ -284,6 +284,85 @@ class TestFp8DotTraining:
         np.testing.assert_allclose(y[0, 0], 1.0, rtol=0.01)
 
 
+class TestInt8TrainDot:
+    """Native int8-MXU training dot (recipe 'int8_train').
+
+    Semantics: per-channel symmetric int8 on both operands, int8x int8->int32
+    on the MXU, scales applied after the accumulation — exactly equal to
+    quantize->dequantize->f32 dot (the int32 accumulation is exact).
+    """
+
+    RECIPE = recipe_set_by_name("int8_train").for_role("mlp")
+
+    def test_forward_exact_vs_dequant_composition(self):
+        x = rand(21, (32, 256), 0.5)
+        w = rand(22, (256, 128), 0.05)
+        y, _ = fp8_dot(x, w, None, None, jnp.zeros(()), self.RECIPE)
+        xq = quantize(x, INT8, axes=(1,))
+        wq = quantize(w, INT8, axes=(0,))
+        want = jnp.dot(xq.dequantize(jnp.float32), wq.dequantize(jnp.float32))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_native_int8_dot_in_jaxpr(self):
+        x = rand(23, (8, 64), 0.5)
+        w = rand(24, (64, 32), 0.05)
+
+        def f(x, w):
+            y, _ = fp8_dot(x, w, None, None, jnp.zeros(()), self.RECIPE)
+            return jnp.sum(y)
+
+        fwd = str(jax.make_jaxpr(f)(x, w))
+        assert "preferred_element_type=int32" in fwd, (
+            "forward dot is not running natively in int8")
+        bwd = str(jax.make_jaxpr(jax.grad(f, argnums=(0, 1)))(x, w))
+        assert bwd.count("preferred_element_type=int32") >= 3, (
+            "backward dots (dx, dw) are not running natively in int8")
+
+    def test_grads_close_to_unquantized(self):
+        x = rand(25, (16, 128), 0.3)
+        w = rand(26, (128, 64), 0.05)
+
+        def qloss(x, w):
+            y, _ = fp8_dot(x, w, None, None, jnp.zeros(()), self.RECIPE)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        def loss(x, w):
+            return jnp.sum(jnp.dot(x, w) ** 2)
+
+        gq = jax.grad(qloss, argnums=(0, 1))(x, w)
+        g = jax.grad(loss, argnums=(0, 1))(x, w)
+        for a, b in zip(gq, g):
+            rel = jnp.linalg.norm(a - b) / jnp.linalg.norm(b)
+            # Per-channel int8 is tighter than per-tensor fp8's 0.15 bound.
+            assert rel < 0.05, rel
+
+    def test_amax_carriers(self):
+        x = rand(27, (8, 32), 2.0)
+        w = rand(28, (32, 16), 0.1)
+
+        def loss(x, w, sink):
+            y, amaxes = fp8_dot(x, w, None, None, sink, self.RECIPE)
+            return jnp.sum(y ** 2), amaxes
+
+        (_, amaxes), grads = jax.value_and_grad(
+            loss, argnums=(0, 1, 2), has_aux=True)(x, w, jnp.zeros(()))
+        np.testing.assert_allclose(amaxes.x, jnp.max(jnp.abs(x)), rtol=1e-6)
+        assert grads[2] > 0  # g amax rides the sink cotangent
+
+    def test_batched_x(self):
+        # [B, S, K] activations — scale [B, S, 1] must post-apply correctly.
+        x = rand(29, (2, 9, 64), 0.7)
+        w = rand(30, (64, 48), 0.05)
+        y, _ = fp8_dot(x, w, None, None, jnp.zeros(()), self.RECIPE)
+        xq = quantize(x, INT8, axes=(2,))
+        wq = quantize(w, INT8, axes=(0,))
+        want = jnp.einsum("bsk,kn->bsn", xq.dequantize(jnp.float32),
+                          wq.dequantize(jnp.float32))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+
 class TestRecipeSets:
     def test_layerwise_assignment(self):
         rs = recipe_set_by_name("default")
@@ -293,7 +372,8 @@ class TestRecipeSets:
         assert rs.for_role("lm_head") is None  # high precision
 
     def test_all_names(self):
-        for name in ["default", "layerwise", "hybrid", "mxfp8", "bf16"]:
+        for name in ["default", "layerwise", "hybrid", "mxfp8", "int8",
+                     "int8_train", "bf16"]:
             recipe_set_by_name(name)
         with pytest.raises(ValueError):
             recipe_set_by_name("nope")

@@ -142,7 +142,8 @@ class TestChunkedLoss:
 
 
 class TestFp8TrainStep:
-    @pytest.mark.parametrize("recipes", ["bf16", "default", "hybrid", "mxfp8"])
+    @pytest.mark.parametrize("recipes", ["bf16", "default", "hybrid", "mxfp8",
+                                         "int8_train"])
     def test_loss_decreases(self, recipes):
         params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
         trainer = Trainer(
