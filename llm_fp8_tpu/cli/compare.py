@@ -52,7 +52,8 @@ def build_parser():
                    help="skip configs already present in --out, merge results")
     p.add_argument("--configs", nargs="+",
                    default=["bf16", "default", "hybrid", "mxfp8"],
-                   choices=["bf16", "default", "hybrid", "mxfp8"])
+                   choices=["bf16", "default", "hybrid", "mxfp8",
+                            "int8_train"])
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_seq_length", type=int, default=512)
     p.add_argument("--num_epochs", type=int, default=1)

@@ -32,9 +32,11 @@ def build_parser():
     p.add_argument("--fp8_scenario", type=str, default="default",
                    choices=["default", "mxfp8", "hybrid"])
     p.add_argument("--kv_dtype", type=str, default="auto",
-                   choices=["auto", "fp8", "bf16"],
+                   choices=["auto", "fp8", "bf16", "int8"],
                    help="auto = fp8 on fp8-native backends (v6e+), bf16 on "
-                        "v5e/CPU (measured trade-off in docs/PERF_NOTES.md)")
+                        "v5e/CPU (measured trade-off in docs/PERF_NOTES.md); "
+                        "int8 = v5e-native 1-byte KV, per-head scales auto-"
+                        "calibrated at first prefill (arena engine only)")
     p.add_argument("--max_slots", type=int, default=8)
     p.add_argument("--max_seq_len", type=int, default=2048)
     p.add_argument("--paged", action="store_true",

@@ -116,9 +116,15 @@ def _kernel(
         kq = new_k_ref[0].astype(jnp.float32) / kscales  # [Hk, D]
         vq = new_v_ref[0].astype(jnp.float32) / vscales
         if fmax is not None:
-            # Saturate before the fp8 cast (overflow would become NaN).
+            # Saturate before the narrow cast (fp8 overflow would become
+            # NaN; int8 astype would wrap).
             kq = jnp.clip(kq, -fmax, fmax)
             vq = jnp.clip(vq, -fmax, fmax)
+        if jnp.issubdtype(tile_buf.dtype, jnp.integer):
+            # float→int astype truncates toward zero; int8 KV needs
+            # round-to-nearest (same contract as quant.qtensor.quantize).
+            kq = jnp.round(kq)
+            vq = jnp.round(vq)
         lane = jax.lax.broadcasted_iota(jnp.int32, (Hk, D, 128), 2)
         off = p_new - ts
         tile_buf[0] = jnp.where(
@@ -308,8 +314,13 @@ def decode_attention_arena(
     layer_idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     k_scale = jnp.broadcast_to(jnp.asarray(k_scale, jnp.float32), (Hk,))
     v_scale = jnp.broadcast_to(jnp.asarray(v_scale, jnp.float32), (Hk,))
-    fp8 = k_arena.dtype not in (jnp.bfloat16, jnp.float32)
-    fmax = float(jnp.finfo(k_arena.dtype).max) if fp8 else None
+    quantized = k_arena.dtype not in (jnp.bfloat16, jnp.float32)
+    if not quantized:
+        fmax = None
+    elif jnp.issubdtype(k_arena.dtype, jnp.integer):
+        fmax = float(jnp.iinfo(k_arena.dtype).max)  # int8 KV: ±127
+    else:
+        fmax = float(jnp.finfo(k_arena.dtype).max)
 
     # Pack grouped q heads into sublanes, padded to the f32 min tile (8).
     G8 = max(8, groups)

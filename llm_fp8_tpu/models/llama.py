@@ -313,16 +313,20 @@ def cache_append_attend(
     k_cache, v_cache, k_scale, v_scale = cache_kv[:4]
     layer_idx = cache_kv[4] if len(cache_kv) > 4 else None
     if k_cache.dtype != kk.dtype:
-        # Clip into the fp8 range before the cast: f32→e4m3fn conversion
+        # Clip into the storage range before the cast: f32→e4m3fn conversion
         # of an overflowing value yields NaN (e4m3fn has no inf encoding),
         # and one NaN in the cache poisons every later step of the sequence.
-        fmax = float(jnp.finfo(k_cache.dtype).max)
-        k_store = jnp.clip(
-            kk.astype(jnp.float32) / k_scale, -fmax, fmax
-        ).astype(k_cache.dtype)
-        v_store = jnp.clip(
-            vv.astype(jnp.float32) / v_scale, -fmax, fmax
-        ).astype(v_cache.dtype)
+        # int8 storage additionally needs round-to-nearest (astype truncates).
+        integer = jnp.issubdtype(k_cache.dtype, jnp.integer)
+        fmax = (float(jnp.iinfo(k_cache.dtype).max) if integer
+                else float(jnp.finfo(k_cache.dtype).max))
+
+        def _q(t, scale, dtype):
+            q = jnp.clip(t.astype(jnp.float32) / scale, -fmax, fmax)
+            return (jnp.round(q) if integer else q).astype(dtype)
+
+        k_store = _q(kk, k_scale, k_cache.dtype)
+        v_store = _q(vv, v_scale, v_cache.dtype)
     else:
         k_store, v_store = kk, vv
     if layer_idx is None:
@@ -669,13 +673,19 @@ def forward_paged(
             kk = apply_rope(kk, cos, sin)
         vv = vv.reshape(B, 1, Hk, Dh)
 
-        fmax = float(jnp.finfo(kp.dtype).max) if kp.dtype != kk.dtype else None
         k_new = kk[:, 0].astype(jnp.float32) / kv_scale
         v_new = vv[:, 0].astype(jnp.float32) / kv_scale
-        if fmax is not None:
-            # Saturate before the fp8 cast (overflow would become NaN).
-            k_new = jnp.clip(k_new, -fmax, fmax)
-            v_new = jnp.clip(v_new, -fmax, fmax)
+        if kp.dtype != kk.dtype:
+            # Saturate before the narrow cast (fp8 overflow would become
+            # NaN; int8 astype would wrap), round for integer storage.
+            if jnp.issubdtype(kp.dtype, jnp.integer):
+                fmax = float(jnp.iinfo(kp.dtype).max)
+                k_new = jnp.round(jnp.clip(k_new, -fmax, fmax))
+                v_new = jnp.round(jnp.clip(v_new, -fmax, fmax))
+            else:
+                fmax = float(jnp.finfo(kp.dtype).max)
+                k_new = jnp.clip(k_new, -fmax, fmax)
+                v_new = jnp.clip(v_new, -fmax, fmax)
         kp = append(kp, k_new, l)
         vp = append(vp, v_new, l)
 
@@ -707,7 +717,7 @@ def forward_decode_arena(
     v_arena: jax.Array,
     lens: jax.Array,  # [B] tokens already in cache (new token goes at lens)
     *,
-    kv_scale: float = 1.0,
+    kv_scale=1.0,  # float, or (k_scales [Hk], v_scales [Hk]) per-head arrays
     window: int | None = None,
     softcap: float | None = None,
     compute_dtype=jnp.bfloat16,
@@ -748,6 +758,9 @@ def forward_decode_arena(
                                     cfg.rope_scaling)
         cos, sin = rope_cos_sin(positions, inv_freq)
 
+    k_sc, v_sc = (kv_scale if isinstance(kv_scale, tuple)
+                  else (kv_scale, kv_scale))
+
     def body(carry, lp_l):
         x, ka, va = carry
         lp, l = lp_l
@@ -769,7 +782,7 @@ def forward_decode_arena(
         attn, ka, va = decode_attention_arena(
             q[:, 0], ka, va, lens + 1, l,
             new_k=kk[:, 0], new_v=vv[:, 0],
-            k_scale=kv_scale, v_scale=kv_scale,
+            k_scale=k_sc, v_scale=v_sc,
             window=window, softcap=softcap, alibi_slopes=slopes,
         )
         x = x + _dot(attn.reshape(B, 1, Hq * Dh), lp["wo"])

@@ -66,11 +66,12 @@ class EngineConfig:
     max_slots: int = 8  # concurrent decode sequences
     max_seq_len: int = 2048  # KV arena length per slot
     # "auto": fp8 KV on fp8-native backends (v6e+), bf16 on v5e/CPU where
-    # fp8 KV measures 0.37x (docs/PERF_NOTES.md). Accepts "fp8"/"bf16"/dtype.
-    # fp8 KV now runs the fused-arena decode path (lane-major arena + Pallas
-    # in-VMEM dequant) instead of the whole-arena XLA dequant.
+    # fp8 KV measures 0.37x (docs/PERF_NOTES.md). Accepts
+    # "fp8"/"bf16"/"int8"/dtype. fp8/int8 KV run the fused-arena decode path
+    # (lane-major arena + Pallas in-VMEM dequant); int8 — the v5e-native
+    # 1-byte format — auto-calibrates per-head scales at first prefill.
     kv_dtype: Any = "auto"
-    kv_scale: float = 1.0  # fp8 KV descale (per-deployment calibration)
+    kv_scale: float = 1.0  # fp8 KV descale / int8 pre-calibration seed
     prefill_buckets: tuple = (128, 256, 512, 1024, 2048)
     attn_impl: str = "auto"
 
@@ -124,11 +125,20 @@ class Engine:
         # Llama-family-specific; other families store fp8 KV in the plain
         # KVCache (quantize-on-store via the shared cache_append_attend).
         self._fp8_arena = jnp.dtype(engine_cfg.kv_dtype) in (
-            jnp.dtype(jnp.float8_e4m3fn), jnp.dtype(jnp.float8_e5m2)
+            jnp.dtype(jnp.float8_e4m3fn), jnp.dtype(jnp.float8_e5m2),
+            jnp.dtype(jnp.int8),
         ) and self._forward is forward
+        # int8 KV: per-head scales are auto-calibrated from the first
+        # prefill's K/V amaxes (the serving-side analogue of vLLM's offline
+        # kv-scale calibration) — int8 is a fixed-point format, so unlike
+        # fp8 a unit scale would waste nearly the whole range on O(1) values.
+        self._int8_kv = (jnp.dtype(engine_cfg.kv_dtype) == jnp.dtype(jnp.int8))
+        self._calibrated = not self._int8_kv
+        Hk = model_cfg.num_kv_heads
+        self._kscales = jnp.full((Hk,), engine_cfg.kv_scale, jnp.float32)
+        self._vscales = jnp.full((Hk,), engine_cfg.kv_scale, jnp.float32)
         if self._fp8_arena:
-            L, Hk, Dh = (model_cfg.num_layers, model_cfg.num_kv_heads,
-                         model_cfg.head_dim)
+            L, Dh = model_cfg.num_layers, model_cfg.head_dim
             self.ka = jnp.zeros((L, B, Hk, Dh, S), engine_cfg.kv_dtype)
             self.va = jnp.zeros((L, B, Hk, Dh, S), engine_cfg.kv_dtype)
             self.cache = None
@@ -221,42 +231,92 @@ class Engine:
         last = logits[0, true_len - 1]
         return last, new_cache
 
+    @staticmethod
+    def _store_arena(arena, new, scales, slot):
+        """Quantize [L, 1, bucket, Hk, Dh] K or V by per-head ``scales`` and
+        store it transposed (lane-major) into arena slot ``slot``."""
+        integer = jnp.issubdtype(arena.dtype, jnp.integer)
+        fmax = (float(jnp.iinfo(arena.dtype).max) if integer
+                else float(jnp.finfo(arena.dtype).max))
+        nt = new[:, 0].transpose(0, 2, 3, 1)  # [L, Hk, Dh, bucket]
+        nt = nt.astype(jnp.float32) / scales.reshape(1, -1, 1, 1)
+        nt = jnp.clip(nt, -fmax, fmax)
+        if integer:
+            nt = jnp.round(nt)
+        return jax.lax.dynamic_update_slice(
+            arena, nt[:, None].astype(arena.dtype), (0, slot, 0, 0, 0)
+        )
+
     def _prefill_arena_impl(self, params, ka, va, tokens, true_len, slot,
-                            *, bucket):
-        """Prefill into the fused fp8 arena: run the prompt, quantize the
-        produced K/V, and store it transposed (lane-major) in slot ``slot``."""
+                            kscales, vscales, *, bucket):
+        """Prefill into the fused quantized arena: run the prompt, quantize
+        the produced K/V per head, store transposed in slot ``slot``."""
         logits, kv = forward(
             params, tokens[None, :], self.cfg, kv_lens=true_len[None],
             attn_impl=self.ecfg.attn_impl, return_kv=True,
         )
         k, v = kv  # [L, 1, bucket, Hk, Dh]
-        fmax = float(jnp.finfo(ka.dtype).max)
-        scale = self.ecfg.kv_scale
+        return (logits[0, true_len - 1],
+                self._store_arena(ka, k, kscales, slot),
+                self._store_arena(va, v, vscales, slot))
 
-        def store(arena, new):
-            nt = new[:, 0].transpose(0, 2, 3, 1)  # [L, Hk, Dh, bucket]
-            nt = jnp.clip(nt.astype(jnp.float32) / scale, -fmax, fmax)
-            return jax.lax.dynamic_update_slice(
-                arena, nt[:, None].astype(arena.dtype), (0, slot, 0, 0, 0)
-            )
+    def _prefill_kv_impl(self, params, tokens, true_len, *, bucket):
+        """Calibration prefill: return the raw (unquantized) prefill K/V so
+        the host can set per-head int8 scales before anything is stored."""
+        logits, kv = forward(
+            params, tokens[None, :], self.cfg, kv_lens=true_len[None],
+            attn_impl=self.ecfg.attn_impl, return_kv=True,
+        )
+        return logits[0, true_len - 1], kv
 
-        return logits[0, true_len - 1], store(ka, k), store(va, v)
-
-    def _decode_arena_impl(self, params, ka, va, last_tokens, lens):
-        """One fused-arena decode step (Pallas in-VMEM fp8 dequant)."""
+    def _decode_arena_impl(self, params, ka, va, last_tokens, lens,
+                           kscales, vscales):
+        """One fused-arena decode step (Pallas in-VMEM dequant)."""
         from llm_fp8_tpu.models.llama import forward_decode_arena
 
         logits, ka, va = forward_decode_arena(
             params, last_tokens[:, None], self.cfg, ka, va, lens,
-            kv_scale=self.ecfg.kv_scale,
+            kv_scale=(kscales, vscales),
         )
         logits = logits[:, 0]
         return logits, jnp.argmax(logits, -1).astype(jnp.int32), ka, va
 
+    def _calibrate_int8_kv(self, padded, n, slot, bucket):
+        """First-prefill int8 KV calibration: run the prompt once without
+        storing, set per-head scales from the observed K/V amaxes (5%
+        headroom), then quantize+store with the frozen scales. Later prompts
+        clip into this range — the same deploy-time-calibration contract as
+        the reference thesis's fp8-weight vLLM serving, automated."""
+        last, (k, v) = jax.jit(
+            self._prefill_kv_impl, static_argnames=("bucket",)
+        )(self.params, padded, n, bucket=bucket)
+        valid_k = np.abs(np.asarray(k[:, 0, :int(n)], np.float32))
+        valid_v = np.abs(np.asarray(v[:, 0, :int(n)], np.float32))
+        amax_k = valid_k.max(axis=(0, 1, 3))  # [Hk]
+        amax_v = valid_v.max(axis=(0, 1, 3))
+        self._kscales = jnp.asarray(
+            np.maximum(amax_k, 1e-6) * 1.05 / 127.0, jnp.float32)
+        self._vscales = jnp.asarray(
+            np.maximum(amax_v, 1e-6) * 1.05 / 127.0, jnp.float32)
+        self._calibrated = True
+        store = jax.jit(
+            lambda ka, va, k, v, ks, vs, slot: (
+                self._store_arena(ka, k, ks, slot),
+                self._store_arena(va, v, vs, slot),
+            ),
+            donate_argnums=(0, 1),
+        )
+        self.ka, self.va = store(self.ka, self.va, k, v,
+                                 self._kscales, self._vscales, slot)
+        return last
+
     def _run_prefill(self, padded, n, slot, bucket):
         if self._fp8_arena:
+            if not self._calibrated:
+                return self._calibrate_int8_kv(padded, n, slot, bucket)
             last, self.ka, self.va = self._prefill(
-                self.params, self.ka, self.va, padded, n, slot, bucket=bucket
+                self.params, self.ka, self.va, padded, n, slot,
+                self._kscales, self._vscales, bucket=bucket
             )
         else:
             last, self.cache = self._prefill(
@@ -267,7 +327,8 @@ class Engine:
     def _run_decode(self, toks, lens):
         if self._fp8_arena:
             logits, gtoks, self.ka, self.va = self._decode(
-                self.params, self.ka, self.va, toks, lens
+                self.params, self.ka, self.va, toks, lens,
+                self._kscales, self._vscales
             )
         else:
             logits, gtoks, self.cache = self._decode(

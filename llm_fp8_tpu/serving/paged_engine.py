@@ -124,9 +124,14 @@ class PagedEngine:
                 chunk = jax.lax.dynamic_slice_in_dim(new, i * page, page, 1)
                 chunk = chunk.astype(jnp.float32) / scale
                 if pools.dtype != new.dtype:
-                    # Saturate before the fp8 cast (overflow -> NaN otherwise).
-                    fmax = float(jnp.finfo(pools.dtype).max)
-                    chunk = jnp.clip(chunk, -fmax, fmax)
+                    # Saturate before the narrow cast (fp8 overflow -> NaN;
+                    # int8 astype would wrap), round for integer storage.
+                    if jnp.issubdtype(pools.dtype, jnp.integer):
+                        fmax = float(jnp.iinfo(pools.dtype).max)
+                        chunk = jnp.round(jnp.clip(chunk, -fmax, fmax))
+                    else:
+                        fmax = float(jnp.finfo(pools.dtype).max)
+                        chunk = jnp.clip(chunk, -fmax, fmax)
                 chunk = chunk.astype(pools.dtype)
                 chunk = chunk.transpose(0, 2, 3, 1)  # [L, Hk, Dh, page]
                 return jax.lax.dynamic_update_slice(

@@ -57,6 +57,10 @@ def resolve_kv_dtype(kv_dtype: Any):
         return jnp.float8_e4m3fn if native_fp8_matmul() else jnp.bfloat16
     if kv_dtype == "fp8":
         return jnp.float8_e4m3fn
+    if kv_dtype == "int8":
+        # v5e-native 1-byte KV: int8→bf16 convert is hardware (fp8's is VPU
+        # software). Scales are per-head, auto-calibrated at first prefill.
+        return jnp.int8
     if kv_dtype == "bf16":
         return jnp.bfloat16
     return kv_dtype

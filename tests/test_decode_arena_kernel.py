@@ -22,13 +22,21 @@ def make_case(key, B, S, Hq, Hk, D, dtype=jnp.float8_e4m3fn, kv_scale=1.0):
     k = jax.random.normal(k2, (B, S, Hk, D), jnp.float32)
     v = jax.random.normal(k3, (B, S, Hk, D), jnp.float32)
     # Store transposed lane-major [1, B, Hk, D, S], quantized.
-    fmax = float(jnp.finfo(dtype).max) if dtype != jnp.bfloat16 else None
+    integer = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
+    if dtype == jnp.bfloat16:
+        fmax = None
+    elif integer:
+        fmax = float(jnp.iinfo(dtype).max)
+    else:
+        fmax = float(jnp.finfo(dtype).max)
 
     def store(x):
         xt = x.transpose(0, 2, 3, 1)[None]  # [1, B, Hk, D, S]
         xs = xt / kv_scale
         if fmax is not None:
             xs = jnp.clip(xs, -fmax, fmax)
+        if integer:
+            xs = jnp.round(xs)
         return xs.astype(dtype)
 
     return q, store(k), store(v)
@@ -40,16 +48,21 @@ def dequant(arena, kv_scale):
 
 
 @pytest.mark.parametrize("groups", [1, 4])
-@pytest.mark.parametrize("dtype", [jnp.float8_e4m3fn, jnp.bfloat16])
+@pytest.mark.parametrize("dtype", [jnp.float8_e4m3fn, jnp.bfloat16, jnp.int8])
 def test_matches_reference(groups, dtype):
     B, S, Hk, D = 3, 256, 2, 64
     Hq = Hk * groups
-    q, ka, va = make_case(jax.random.PRNGKey(0), B, S, Hq, Hk, D, dtype)
+    # int8 is fixed-point: give it a realistic calibrated scale (±4σ of a
+    # unit normal maps into ±127) — fp8 is a float format and self-ranges.
+    kv_scale = (1 / 32) if dtype == jnp.int8 else 1.0
+    q, ka, va = make_case(jax.random.PRNGKey(0), B, S, Hq, Hk, D, dtype,
+                          kv_scale=kv_scale)
     lens = jnp.asarray([1, 100, 256], jnp.int32)
 
-    got = decode_attention_arena(q, ka, va, lens, 0, chunk=128)
+    got = decode_attention_arena(q, ka, va, lens, 0, chunk=128,
+                                 k_scale=kv_scale, v_scale=kv_scale)
     want = attention_ref(
-        q[:, None], dequant(ka, 1.0), dequant(va, 1.0),
+        q[:, None], dequant(ka, kv_scale), dequant(va, kv_scale),
         causal=True, q_offset=lens - 1, kv_lens=lens,
     )[:, 0]
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
@@ -199,14 +212,14 @@ def test_deterministic_by_repetition():
         np.testing.assert_array_equal(first, again)
 
 
-@pytest.mark.parametrize("dtype", [jnp.float8_e4m3fn, jnp.bfloat16])
+@pytest.mark.parametrize("dtype", [jnp.float8_e4m3fn, jnp.bfloat16, jnp.int8])
 def test_in_kernel_append(dtype):
     """With new_k/new_v the kernel quantizes + appends the token at column
     lengths-1, then attends over it (the ``k``/``v`` arguments of the
     reference kvcache kernel, ``flash_attn_interface.py:1464+``)."""
     B, S, Hk, D = 3, 256, 2, 64
     Hq = Hk * 4
-    kv_scale = 0.5
+    kv_scale = (1 / 32) if dtype == jnp.int8 else 0.5
     q, ka, va = make_case(
         jax.random.PRNGKey(8), B, S, Hq, Hk, D, dtype, kv_scale=kv_scale
     )
@@ -223,12 +236,19 @@ def test_in_kernel_append(dtype):
     )
 
     # (a) the arena was updated in the right column, quantized at the scale
-    fmax = float(jnp.finfo(dtype).max) if dtype != jnp.bfloat16 else None
+    integer = jnp.issubdtype(jnp.dtype(dtype), jnp.integer)
+    if dtype == jnp.bfloat16:
+        fmax = None
+    else:
+        fmax = (float(jnp.iinfo(dtype).max) if integer
+                else float(jnp.finfo(dtype).max))
     for b, ln in enumerate([1, 128, 200]):
         col = np.asarray(ka2[0, b, :, :, ln - 1].astype(jnp.float32))
         wantc = new_k[b] / kv_scale
         if fmax is not None:
             wantc = jnp.clip(wantc, -fmax, fmax)
+        if integer:
+            wantc = jnp.round(wantc)
         wantc = np.asarray(wantc.astype(dtype).astype(jnp.float32))
         np.testing.assert_array_equal(col, wantc)
         # neighbours untouched

@@ -219,6 +219,42 @@ class TestEngine:
         assert len(done[0].output) == 6
         assert all(0 <= t < CFG.vocab_size for t in done[0].output)
 
+    def test_int8_kv_engine_runs(self):
+        params = init_params(CFG, jax.random.PRNGKey(6), dtype=jnp.float32)
+        eng = make_engine(params, kv_dtype=jnp.int8)
+        eng.add_request(np.arange(1, 9, dtype=np.int32),
+                        SamplingParams(max_new_tokens=6))
+        done = eng.run()
+        assert len(done[0].output) == 6
+        assert all(0 <= t < CFG.vocab_size for t in done[0].output)
+
+    def test_int8_kv_calibration_and_fidelity(self):
+        """First prefill auto-calibrates per-head scales, and the stored
+        int8 arena dequantizes back to the raw prefill K/V within int8
+        rounding error (the vLLM-style kv-scale calibration contract)."""
+        params = init_params(CFG, jax.random.PRNGKey(7), dtype=jnp.float32)
+        eng = make_engine(params, kv_dtype=jnp.int8)
+        default = np.full((CFG.num_kv_heads,), eng.ecfg.kv_scale, np.float32)
+        prompt = np.arange(1, 17, dtype=np.int32)
+        eng.add_request(prompt, SamplingParams(max_new_tokens=1))
+        eng.run()
+        kscales = np.asarray(eng._kscales)
+        assert not np.allclose(kscales, default), "calibration never ran"
+
+        # Reference K/V for the same prompt (bucket 32 via make_engine).
+        logits, (k, v) = forward(
+            params, jnp.asarray(prompt)[None], CFG,
+            kv_lens=jnp.asarray([16], jnp.int32), attn_impl="ref",
+            return_kv=True,
+        )
+        n = len(prompt)
+        want = np.asarray(k[:, 0, :n], np.float32)  # [L, n, Hk, Dh]
+        got = (np.asarray(eng.ka[:, 0, :, :, :n], np.float32)
+               .transpose(0, 3, 1, 2) * kscales[None, None, :, None])
+        err = np.abs(got - want).max()
+        # int8 with calibrated per-head scales: max error <= scale/2 per head
+        assert err <= float(kscales.max()) * 0.51, err
+
 
 class TestEngineGuards:
     """Regressions for review findings: arena bounds + oversized rejection."""
