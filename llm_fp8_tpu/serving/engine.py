@@ -133,6 +133,15 @@ class Engine:
         # kv-scale calibration) — int8 is a fixed-point format, so unlike
         # fp8 a unit scale would waste nearly the whole range on O(1) values.
         self._int8_kv = (jnp.dtype(engine_cfg.kv_dtype) == jnp.dtype(jnp.int8))
+        if self._int8_kv and not self._fp8_arena:
+            # Only the arena path carries calibrated per-head scales; the
+            # generic KVCache path would quantize O(1) values at the unit
+            # scale — int8 is fixed-point, that truncates K/V to ±1 and
+            # silently destroys the logits. Refuse instead.
+            raise ValueError(
+                "int8 KV requires the fused-arena engine path (Llama-family "
+                "forward); use kv_dtype='bf16' or 'fp8' for this model"
+            )
         self._calibrated = not self._int8_kv
         Hk = model_cfg.num_kv_heads
         self._kscales = jnp.full((Hk,), engine_cfg.kv_scale, jnp.float32)

@@ -8,6 +8,7 @@ many other requests share the batch or when they arrived.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from llm_fp8_tpu.models import get_config, init_params, forward, init_kv_cache
 from llm_fp8_tpu.ops import greedy
@@ -218,6 +219,23 @@ class TestEngine:
         done = eng.run()
         assert len(done[0].output) == 6
         assert all(0 <= t < CFG.vocab_size for t in done[0].output)
+
+    def test_int8_kv_requires_arena_path(self):
+        """int8 KV on a zoo family (no arena fast path) must refuse loudly —
+        the generic path has no calibrated scales and would silently emit
+        garbage logits."""
+        from llm_fp8_tpu.models.gpt2 import (
+            GPT2_REGISTRY, init_gpt2_params, gpt2_forward,
+        )
+
+        gcfg = GPT2_REGISTRY["debug-gpt2"]
+        gparams = init_gpt2_params(gcfg, jax.random.PRNGKey(0))
+        with pytest.raises(ValueError, match="int8 KV"):
+            Engine(gparams, gcfg,
+                   EngineConfig(max_slots=2, max_seq_len=64,
+                                kv_dtype=jnp.int8, prefill_buckets=(32,),
+                                attn_impl="ref"),
+                   forward_fn=gpt2_forward)
 
     def test_int8_kv_engine_runs(self):
         params = init_params(CFG, jax.random.PRNGKey(6), dtype=jnp.float32)
