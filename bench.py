@@ -44,6 +44,9 @@ BATCH_BF16 = 8
 # Equal-HBM fp8 config: weights 1.24 GB (vs 2.47) frees ~1.2 GB for cache ->
 # batch 44 at bf16-KV (44 x 33.5 MB + 1.24 GB ~= bf16@8's 2.74 GB footprint).
 BATCH_FP8 = 44
+# int8 KV halves the per-seq cache (16.75 MB at cache 1024) -> batch ~88 at
+# the same footprint (88 x 16.75 MB + 1.24 GB ~= 2.71 GB).
+BATCH_INT8KV = 88
 CTX = 512  # cache fill at steady state
 CACHE_LEN = 1024
 ITERS = 128  # enough for a stable ratio; keeps total wall time under budget
@@ -110,6 +113,45 @@ def bench_decode(params, cfg, kv_dtype, batch, attn_impl="auto"):
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[1]  # median of 3 warm trials (warmup ran a full loop)
     return batch * ITERS / dt  # tokens/s
+
+
+def bench_decode_arena(params, cfg, kv_dtype, batch):
+    """Steady-state decode via the fused arena kernel (the engine fast path
+    for quantized KV): lane-major [L, B, Hk, Dh, S] arena, in-VMEM dequant,
+    in-kernel quantize+append."""
+    from llm_fp8_tpu.models.llama import forward_decode_arena
+
+    L, Hk, Dh = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    ka = jnp.zeros((L, batch, Hk, Dh, CACHE_LEN), kv_dtype)
+    va = jnp.zeros((L, batch, Hk, Dh, CACHE_LEN), kv_dtype)
+    lens = jnp.full((batch,), CTX, jnp.int32)
+    toks = jnp.ones((batch, 1), jnp.int32)
+    # Calibrated-scale stand-in (throughput is value-independent).
+    ks = jnp.full((Hk,), 0.05, jnp.float32)
+    vs = jnp.full((Hk,), 0.05, jnp.float32)
+
+    @jax.jit
+    def loop(params, ka, va, toks, lens):
+        def body(carry, _):
+            ka, va, toks, lens = carry
+            logits, ka, va = forward_decode_arena(
+                params, toks, cfg, ka, va, lens, kv_scale=(ks, vs)
+            )
+            toks = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)[:, None]
+            return (ka, va, toks, lens + 1), None
+
+        (ka, va, toks, lens), _ = jax.lax.scan(
+            body, (ka, va, toks, lens), None, length=ITERS
+        )
+        return toks
+
+    _sync(loop(params, ka, va, toks, lens))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(loop(params, ka, va, toks, lens))
+        times.append(time.perf_counter() - t0)
+    return batch * ITERS / sorted(times)[1]
 
 
 def _fake_quantized_params(cfg):
@@ -235,6 +277,7 @@ def main():
     # convert vs fp8's VPU-software dequant) — measured the fastest serving
     # config on this chip (docs/PERF_NOTES.md int8 table). Cheap leg (~30 s):
     # one more compile + loop at the same batch.
+    q_int8 = None
     if _remaining() > 120:
         try:
             from llm_fp8_tpu.quant import recipe_set_by_name
@@ -242,13 +285,29 @@ def main():
             q_int8 = quantize_params(params, recipe_set_by_name("int8"))
             del params
             int8_tps = bench_decode(q_int8, cfg, jnp.bfloat16, BATCH_FP8)
-            del q_int8
             result["int8_tokens_per_s"] = round(int8_tps, 1)
             result["int8_decode_x"] = round(int8_tps / bf16_tps, 3)
             print(json.dumps(result), flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"int8 leg failed: {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr)
+
+    # int8 weights + int8 arena KV: halving KV bytes seats ~2x the batch at
+    # the same footprint, and the int8->bf16 arena convert is hardware
+    # (docs/PERF_NOTES.md "int8 KV cache"). Fused arena decode path.
+    if q_int8 is not None and _remaining() > 150:
+        try:
+            int8kv_tps = bench_decode_arena(
+                q_int8, cfg, jnp.int8, BATCH_INT8KV
+            )
+            result["int8kv_tokens_per_s"] = round(int8kv_tps, 1)
+            result["int8kv_batch"] = BATCH_INT8KV
+            result["int8kv_decode_x"] = round(int8kv_tps / bf16_tps, 3)
+            print(json.dumps(result), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"int8-KV leg failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+        del q_int8
 
     if _remaining() > EIGHT_B_COST_S:
         tps_8b = bench_8b_fp8()
