@@ -83,3 +83,25 @@ class TestPagedEngine:
         done = eng.run()
         assert len(done[0].output) == 6
         assert all(0 <= t < CFG.vocab_size for t in done[0].output)
+
+    def test_int8_pages_run(self):
+        """int8 pages with an explicit kv_scale (the paged engine's scale is
+        deployment-calibrated, unlike the arena engine's auto-calibration);
+        values round-to-nearest and saturate at ±127 on store."""
+        params = init_params(CFG, jax.random.PRNGKey(4), dtype=jnp.float32)
+        eng = PagedEngine(
+            params, CFG,
+            PagedEngineConfig(
+                max_slots=2, page_size=PAGE, num_pages=32,
+                max_pages_per_seq=8, kv_dtype=jnp.int8, kv_scale=1 / 16,
+                prefill_buckets=(32,), attn_impl="ref",
+            ),
+        )
+        eng.add_request(np.arange(1, 12, dtype=np.int32),
+                        SamplingParams(max_new_tokens=6))
+        done = eng.run()
+        assert len(done[0].output) == 6
+        assert all(0 <= t < CFG.vocab_size for t in done[0].output)
+        # stored pages must be integers within range (round-trip sanity)
+        pages = np.asarray(eng.k_pages.astype(jnp.float32))
+        assert np.abs(pages).max() <= 127
