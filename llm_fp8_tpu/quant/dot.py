@@ -105,20 +105,48 @@ def _scale_is_post_applicable(w: QTensor) -> bool:
 # --------------------------------------------------------------------------
 
 
+def _use_fused_quantize() -> bool:
+    # Opt-in single-pass Pallas amax+quantize (kernels/quantize.py): the
+    # operand streams from HBM once instead of twice. Off by default until
+    # the TPU measurement confirms the win (docs/PERF_NOTES.md agenda).
+    import os
+
+    return os.environ.get("LLM_FP8_QUANTIZE", "xla") == "pallas"
+
+
+def _quantize_channel(t: jax.Array, fmt, contract_axis: int,
+                      margin: int) -> QTensor:
+    """Per-channel quantize, via the fused Pallas kernel when enabled."""
+    if _use_fused_quantize():
+        from llm_fp8_tpu.kernels.quantize import quantize_fused
+
+        if contract_axis == t.ndim - 1:
+            t2 = t.reshape(-1, t.shape[-1])
+            q = quantize_fused(t2, fmt, axis=-1, margin=margin)
+            return QTensor(
+                qvalue=q.qvalue.reshape(t.shape),
+                scale=q.scale.reshape(t.shape[:-1] + (1,)),
+                fmt=fmt,
+            )
+        if t.ndim == 2 and contract_axis == 0:
+            return quantize_fused(t, fmt, axis=0, margin=margin)
+        # Fall through for layouts the kernel doesn't cover.
+    return quantize(t, fmt, axes=(contract_axis,), margin=margin)
+
+
 def _q_fwd(t: jax.Array, recipe: Recipe, scale, contract_axis: int) -> QTensor:
     """Quantize a forward operand according to the recipe granularity."""
     if recipe.granularity == "block32":
         return quantize_mx(t, recipe.fmt_fwd, block_axis=contract_axis,
                            block_size=MX_BLOCK)
-    axes = None
     if recipe.granularity == "channel":
         # Per-channel is always just-in-time: the per-slice amaxes are one
         # VPU reduction (cheap on TPU), strictly tighter than a delayed
         # scalar, and keep the scale constant along the contraction so it
         # post-applies after the dot (required by the native int8 path).
-        axes = (contract_axis,)
-        scale = None
-    return quantize(t, recipe.fmt_fwd, axes=axes, scale=scale,
+        return _quantize_channel(t, recipe.fmt_fwd, contract_axis,
+                                 recipe.margin)
+    return quantize(t, recipe.fmt_fwd, axes=None, scale=scale,
                     margin=recipe.margin)
 
 
@@ -130,8 +158,10 @@ def _q_bwd(g: jax.Array, recipe: Recipe, contract_axis: int) -> QTensor:
                            block_size=MX_BLOCK)
     # Non-block recipes, and the block recipe on axes not divisible by the
     # block size (e.g. a ragged batch axis in dw), use per-tensor scaling.
-    axes = (contract_axis,) if recipe.granularity == "channel" else None
-    return quantize(g, recipe.fmt_bwd, axes=axes, margin=recipe.margin)
+    if recipe.granularity == "channel":
+        return _quantize_channel(g, recipe.fmt_bwd, contract_axis,
+                                 recipe.margin)
+    return quantize(g, recipe.fmt_bwd, axes=None, margin=recipe.margin)
 
 
 def _mx_or_tensor(t: jax.Array, fmt, block_axis: int) -> QTensor:
@@ -277,8 +307,8 @@ def _fp8_dot_bwd(recipe: Recipe, res, cts):
         # dx = (g * s_w) @ w8^T, contraction over N with w8 in its stored
         # [K, N] layout (dot_general contracts n<->n; no transpose pass).
         g_dx = gy32 * wq.scale.astype(jnp.float32).reshape(-1)
-        gq_dx = quantize(g_dx, recipe.fmt_bwd, axes=(g_dx.ndim - 1,),
-                         margin=recipe.margin)
+        gq_dx = _quantize_channel(g_dx, recipe.fmt_bwd, g_dx.ndim - 1,
+                                  recipe.margin)
         acc = jax.lax.dot_general(
             gq_dx.qvalue, wq.qvalue,
             dimension_numbers=(((gq_dx.ndim - 1,), (1,)), ((), ())),
@@ -291,8 +321,7 @@ def _fp8_dot_bwd(recipe: Recipe, res, cts):
         x8 = x_res.qvalue.reshape(-1, x_res.shape[-1])
         g_dw = (gy32 * x_res.scale.astype(jnp.float32)).reshape(
             -1, gy.shape[-1])
-        gq_dw = quantize(g_dw, recipe.fmt_bwd, axes=(0,),
-                         margin=recipe.margin)
+        gq_dw = _quantize_channel(g_dw, recipe.fmt_bwd, 0, recipe.margin)
         acc = jax.lax.dot_general(
             x8, gq_dw.qvalue,
             dimension_numbers=(((0,), (0,)), ((), ())),

@@ -136,3 +136,41 @@ class TestMonitor:
         t.step(100)
         r = t.rates()
         assert r["tokens_per_s"] > 0 and r["steps_per_s"] > 0
+
+
+class TestBenchParamsParity:
+    """Guard bench.py's direct-in-FP8 param builder against layout drift.
+
+    ``bench._fake_quantized_params`` hand-builds LAYERWISE-quantized params
+    (the bf16 intermediate of init+quantize would OOM at 8B scale); if
+    ``quantize_params`` ever changes its layout the 8B bench would only fail
+    at runtime on the chip. This pins the two to the same pytree structure,
+    shapes and dtypes on a debug config.
+    """
+
+    def test_structure_matches_quantize_params(self):
+        import dataclasses
+        import bench
+
+        from llm_fp8_tpu.models.llama import quantize_params as qp
+        from llm_fp8_tpu.quant.recipe import recipe_set_by_name
+
+        # 8B-shaped (untied lm_head, no qkv bias / qk-norm) at debug size.
+        cfg = dataclasses.replace(
+            get_config("debug-tiny"), tie_word_embeddings=False
+        )
+        real = qp(
+            init_params(cfg, jax.random.PRNGKey(0)),
+            recipe_set_by_name("default"),
+        )
+        fake = bench._fake_quantized_params(cfg)
+
+        real_spec = [
+            (jax.tree_util.keystr(path), leaf.shape, leaf.dtype)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(real)[0]
+        ]
+        fake_spec = [
+            (jax.tree_util.keystr(path), leaf.shape, leaf.dtype)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(fake)[0]
+        ]
+        assert real_spec == fake_spec

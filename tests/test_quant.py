@@ -380,3 +380,104 @@ class TestRecipeSets:
 
     def test_bf16_disabled(self):
         assert not recipe_set_by_name("bf16").enabled
+
+
+class TestQuantizeFusedKernel:
+    """Single-pass Pallas amax+quantize vs the two-pass jnp reference."""
+
+    def _check(self, fmt, axis, shape, seed=0):
+        from llm_fp8_tpu.kernels.quantize import quantize_fused
+        from llm_fp8_tpu.quant import quantize
+
+        x = (jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+             * 3.0).astype(jnp.bfloat16)
+        # Jit the reference too: XLA rewrites the /fmt.max into a
+        # multiply-by-reciprocal under jit (1 ULP off eager true division),
+        # and production always runs this under the jitted train step.
+        ref = jax.jit(
+            lambda t: quantize(t, fmt, axes=(axis % 2,))
+        )(x)
+        got = quantize_fused(x, fmt, axis=axis, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(got.qvalue, np.float32), np.asarray(ref.qvalue, np.float32)
+        )
+        assert got.scale.shape == ref.scale.shape, (got.scale.shape,
+                                                    ref.scale.shape)
+        np.testing.assert_allclose(
+            np.asarray(got.scale), np.asarray(ref.scale), rtol=0, atol=0
+        )
+
+    @pytest.mark.parametrize("fmt_name", ["int8", "e4m3"])
+    def test_rows(self, fmt_name):
+        from llm_fp8_tpu.quant import INT8, E4M3
+        fmt = {"int8": INT8, "e4m3": E4M3}[fmt_name]
+        self._check(fmt, -1, (64, 256))
+
+    @pytest.mark.parametrize("fmt_name", ["int8", "e4m3"])
+    def test_cols(self, fmt_name):
+        from llm_fp8_tpu.quant import INT8, E4M3
+        fmt = {"int8": INT8, "e4m3": E4M3}[fmt_name]
+        self._check(fmt, 0, (256, 384))
+
+    def test_unaligned_shapes(self):
+        from llm_fp8_tpu.quant import INT8
+        self._check(INT8, -1, (13, 200), seed=1)
+        self._check(INT8, 0, (200, 13), seed=2)
+
+    def test_margin(self):
+        from llm_fp8_tpu.kernels.quantize import quantize_fused
+        from llm_fp8_tpu.quant import quantize, INT8
+
+        x = jax.random.normal(jax.random.PRNGKey(3), (32, 128), jnp.bfloat16)
+        ref = jax.jit(lambda t: quantize(t, INT8, axes=(1,), margin=1))(x)
+        got = quantize_fused(x, INT8, axis=-1, margin=1, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.qvalue),
+                                      np.asarray(ref.qvalue))
+        np.testing.assert_array_equal(np.asarray(got.scale),
+                                      np.asarray(ref.scale))
+
+
+class TestFusedQuantizeDispatch:
+    """LLM_FP8_QUANTIZE=pallas routes fp8_dot through the fused kernel with
+    value+grad parity vs the XLA quantize path."""
+
+    def test_int8_train_dot_parity(self, monkeypatch):
+        from llm_fp8_tpu.quant.dot import fp8_dot
+        from llm_fp8_tpu.quant.recipe import recipe_set_by_name
+
+        recipe = recipe_set_by_name("int8_train").for_role("mlp")
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        x = jax.random.normal(k1, (4, 24, 64), jnp.bfloat16)
+        w = jax.random.normal(k2, (64, 48), jnp.bfloat16) * 0.1
+        g = jax.random.normal(k3, (4, 24, 48), jnp.bfloat16)
+
+        def run():
+            def f(x, w, sink):
+                y, amaxes = fp8_dot(x, w, None, None, sink, recipe)
+                return jnp.vdot(y.astype(jnp.float32),
+                                g.astype(jnp.float32)), (y, amaxes)
+
+            (loss, (y, amaxes)), grads = jax.value_and_grad(
+                f, argnums=(0, 1, 2), has_aux=True
+            )(x, w, jnp.zeros(()))
+            return y, grads
+
+        monkeypatch.delenv("LLM_FP8_QUANTIZE", raising=False)
+        y_ref, g_ref = run()
+        monkeypatch.setenv("LLM_FP8_QUANTIZE", "pallas")
+        y_fused, g_fused = run()
+
+        # Not bit-equal: XLA's divide→multiply-by-reciprocal rewrite differs
+        # between the two compilations, so a value sitting exactly on a
+        # rounding boundary can land one quantum apart. Assert one-quantum
+        # closeness instead (scale ≈ amax/127 ⇒ atol ≈ amax/127 per element).
+        def close(a, b):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            quantum = np.abs(a).max() / 127.0 + 1e-6
+            np.testing.assert_allclose(a, b, atol=1.5 * quantum, rtol=0)
+
+        close(y_ref, y_fused)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_fused)):
+            close(a, b)
