@@ -243,7 +243,38 @@ def bench_8b_fp8():
             os.environ["LLM_FP8_QDOT"] = prev
 
 
+def _probe_device_or_die(timeout_s: float = 300.0):
+    """Fail fast (with evidence) when the TPU tunnel is down.
+
+    Backend init over the axon tunnel blocks inside the PJRT client when the
+    remote pool is unreachable — a SIGALRM in this process cannot interrupt
+    it, and the round-1 failure mode was rc=124 with an empty stdout. Probe
+    in a child process with a hard timeout instead; on failure, print a
+    diagnostic JSON line (so the driver captures *something* parseable) and
+    exit nonzero.
+    """
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend(), len(jax.devices()))"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        if out.returncode == 0:
+            return
+        err = f"device init rc={out.returncode}: {out.stderr.strip()[-300:]}"
+    except subprocess.TimeoutExpired:
+        err = f"device init timed out after {timeout_s:.0f}s (tunnel down?)"
+    print(json.dumps({
+        "metric": "fp8_decode_throughput_vs_bf16_equal_hbm_llama1b",
+        "value": None, "unit": "x", "vs_baseline": None, "error": err,
+    }), flush=True)
+    sys.exit(3)
+
+
 def main():
+    _probe_device_or_die()
     cfg = get_config("llama-3.2-1b")
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     qparams = quantize_params(params, LAYERWISE)
