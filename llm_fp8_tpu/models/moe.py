@@ -1,0 +1,411 @@
+"""Mixtral-family sparse Mixture-of-Experts decoder (beyond-reference).
+
+The reference has no MoE and no expert parallelism — the thesis discusses
+MoE only as background (``thesis/chapters/c2/c2_mo_llm.tex:139``) and
+SURVEY.md §2d records EP as absent. This module adds the capability the
+TPU-first design makes natural: the Mixtral architecture (Llama attention +
+top-k routed SwiGLU experts, numerics mirroring HF ``MixtralForCausalLM``
+for parity testing) on the same kernel/quant/serving stack as every other
+family.
+
+TPU-idiomatic routing: GShard-style one-hot **einsum dispatch** with a
+static expert capacity — every shape is static under ``jit``, the dispatch/
+combine contractions and the per-expert FFNs are batched MXU matmuls, and
+there is no gather/scatter in the hot path. Expert parallelism falls out of
+GSPMD: the expert axis of the stacked ``[L, E, ...]`` weights is sharded
+over the mesh ``ep`` axis (``parallel/sharding.py::moe_rules``) and XLA
+partitions the dispatch einsums, inserting the all-to-all-class collectives
+the reference would have hand-written in NCCL.
+
+Routing numerics (HF ``MixtralSparseMoeBlock``): softmax over *all* expert
+logits in fp32, top-k of the probabilities, renormalize the kept weights to
+sum to 1. The load-balancing auxiliary loss is Switch/Mixtral's
+``E * Σ_e f_e · P_e`` (fraction of routed assignments × mean router prob).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llm_fp8_tpu.ops.rmsnorm import rmsnorm
+from llm_fp8_tpu.ops.rotary import rope_frequencies, rope_cos_sin, apply_rope
+from llm_fp8_tpu.quant import QTensor, RecipeSet, quantize
+from .config import ModelConfig
+from .llama import (
+    KVCache,
+    _dot,
+    _lm_head,
+    _remat_policy,
+    cache_append_attend,
+)
+from llm_fp8_tpu.ops.attention import attention
+
+__all__ = [
+    "MoEConfig", "MOE_REGISTRY", "init_moe_params", "moe_forward",
+    "pack_mixtral_state_dict", "quantize_moe_params", "load_balance_loss",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEConfig(ModelConfig):
+    """Mixtral = Llama attention + routed experts in place of the MLP."""
+
+    num_experts: int = 8
+    num_experts_per_tok: int = 2
+    #: Dispatch-path expert capacity factor: each expert processes at most
+    #: ``ceil(T · k / E) · capacity_factor`` tokens per step; overflow
+    #: assignments are dropped (their combine weight is zero), the standard
+    #: GShard trade for static shapes. ``<= 0`` means full capacity
+    #: (``C = T``, lossless — used by the parity tests and decode, where
+    #: T = batch is small).
+    capacity_factor: float = 2.0
+    router_aux_coef: float = 0.02
+
+    def num_params(self) -> int:
+        d, i, v = self.hidden_size, self.intermediate_size, self.vocab_size
+        per_layer = (
+            d * self.qkv_dim
+            + self.q_dim * d
+            + d * self.num_experts              # router
+            + self.num_experts * 3 * d * i      # expert gate/up/down
+            + 2 * d
+        )
+        embed = v * d * (1 if self.tie_word_embeddings else 2)
+        return self.num_layers * per_layer + embed + d
+
+
+MOE_REGISTRY: Dict[str, MoEConfig] = {
+    # Mixtral-8x7B (HF mistralai/Mixtral-8x7B-v0.1 config.json).
+    "mixtral-8x7b": MoEConfig(
+        name="mixtral-8x7b", vocab_size=32000, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32,
+        num_kv_heads=8, head_dim=128, rope_theta=1e6, rms_eps=1e-5,
+        max_position_embeddings=32768, num_experts=8, num_experts_per_tok=2,
+    ),
+    "debug-mixtral": MoEConfig(
+        name="debug-mixtral", vocab_size=512, hidden_size=128,
+        intermediate_size=256, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=32, rope_theta=1e6, rms_eps=1e-5,
+        max_position_embeddings=2048, num_experts=4, num_experts_per_tok=2,
+    ),
+}
+
+
+# --------------------------------------------------------------------------
+# Params
+# --------------------------------------------------------------------------
+
+
+def init_moe_params(cfg: MoEConfig, key: jax.Array, dtype=jnp.bfloat16):
+    k = iter(jax.random.split(key, 16))
+    D, I, V, L, E = (cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size,
+                     cfg.num_layers, cfg.num_experts)
+
+    def w(key, shape, std=0.02):
+        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+    layers = {
+        "wqkv": w(next(k), (L, D, cfg.qkv_dim)),
+        "wo": w(next(k), (L, cfg.q_dim, D)),
+        "w_router": w(next(k), (L, D, E)),
+        "w_gate_up": w(next(k), (L, E, D, 2 * I)),
+        "w_down": w(next(k), (L, E, I, D)),
+        "norm_attn": jnp.ones((L, D), dtype),
+        "norm_mlp": jnp.ones((L, D), dtype),
+    }
+    params = {
+        "embed": w(next(k), (V, D)),
+        "layers": layers,
+        "final_norm": jnp.ones((D,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = w(next(k), (D, V))
+    return params
+
+
+def pack_mixtral_state_dict(sd: Dict[str, jax.Array], cfg: MoEConfig,
+                            dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """HF Mixtral state dict → stacked fused layout.
+
+    Same remap discipline as the Llama loader (the reference's
+    ``replace_params``, ``te_llama.py:181-239``): HF linears are ``[out,in]``
+    → transposed; per-expert ``w1``(gate)/``w3``(up) concat into one
+    ``[D, 2I]`` input projection; experts stacked along a leading E axis.
+    """
+
+    def get(name):
+        if name not in sd:
+            raise KeyError(f"missing {name!r} in checkpoint")
+        return sd[name]
+
+    def linear(name):
+        return jnp.asarray(get(name)).astype(dtype).T
+
+    L, E = cfg.num_layers, cfg.num_experts
+    wqkv, wo, w_router, w_gate_up, w_down = [], [], [], [], []
+    n_attn, n_mlp = [], []
+    for i in range(L):
+        p = f"model.layers.{i}."
+        q = linear(p + "self_attn.q_proj.weight")
+        kk = linear(p + "self_attn.k_proj.weight")
+        v = linear(p + "self_attn.v_proj.weight")
+        wqkv.append(jnp.concatenate([q, kk, v], axis=1))
+        wo.append(linear(p + "self_attn.o_proj.weight"))
+        w_router.append(linear(p + "block_sparse_moe.gate.weight"))
+        gu, dn = [], []
+        for e in range(E):
+            ep = p + f"block_sparse_moe.experts.{e}."
+            gate = linear(ep + "w1.weight")
+            up = linear(ep + "w3.weight")
+            gu.append(jnp.concatenate([gate, up], axis=1))
+            dn.append(linear(ep + "w2.weight"))
+        w_gate_up.append(jnp.stack(gu))
+        w_down.append(jnp.stack(dn))
+        n_attn.append(jnp.asarray(get(p + "input_layernorm.weight")).astype(dtype))
+        n_mlp.append(
+            jnp.asarray(get(p + "post_attention_layernorm.weight")).astype(dtype)
+        )
+
+    params: Dict[str, Any] = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight")).astype(dtype),
+        "layers": {
+            "wqkv": jnp.stack(wqkv),
+            "wo": jnp.stack(wo),
+            "w_router": jnp.stack(w_router),
+            "w_gate_up": jnp.stack(w_gate_up),
+            "w_down": jnp.stack(w_down),
+            "norm_attn": jnp.stack(n_attn),
+            "norm_mlp": jnp.stack(n_mlp),
+        },
+        "final_norm": jnp.asarray(get("model.norm.weight")).astype(dtype),
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = linear("lm_head.weight")
+    return params
+
+
+def quantize_moe_params(params: Dict[str, Any], recipes: RecipeSet):
+    """Scale-baking pass for serving (same contract as the Llama family's
+    ``quantize_params``). Expert weights get per-output-channel scales along
+    their contraction axes; the router stays high precision (it is tiny and
+    decides the computation graph — quantizing it moves routing decisions,
+    not just values)."""
+    out = dict(params)
+    layers = dict(params["layers"])
+
+    def q(name, role, contract_axis):
+        recipe = recipes.for_role(role)
+        if recipe is None:
+            return
+        wv = layers[name]
+        layers[name] = quantize(
+            wv.astype(jnp.float32), recipe.fmt_fwd, axes=(contract_axis,),
+            margin=recipe.margin,
+        )
+
+    q("wqkv", "attn_qkv", 1)
+    q("wo", "attn_out", 1)
+    q("w_gate_up", "mlp", 2)   # [L, E, D, 2I] contracts over D
+    q("w_down", "mlp", 2)      # [L, E, I, D] contracts over I
+    out["layers"] = layers
+    lm_recipe = recipes.for_role("lm_head")
+    if lm_recipe is not None and "lm_head" in out:
+        out["lm_head"] = quantize(
+            out["lm_head"].astype(jnp.float32), lm_recipe.fmt_fwd, axes=(0,)
+        )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Routed MLP
+# --------------------------------------------------------------------------
+
+
+def _edot(x: jax.Array, w, pattern: str) -> jax.Array:
+    """Batched-over-experts einsum where ``w`` may be a per-channel QTensor.
+
+    The scale is constant along the contraction (``quantize_moe_params``
+    axes), so it post-applies exactly after the einsum — the same trick the
+    2-D ``qdot`` uses, batched over E.
+    """
+    if isinstance(w, QTensor):
+        y = jnp.einsum(pattern, x, w.qvalue.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        # scale [E, 1, F] broadcasts over [E, C, F].
+        return (y * w.scale.astype(jnp.float32)).astype(x.dtype)
+    return jnp.einsum(pattern, x, w.astype(x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def load_balance_loss(probs: jax.Array, topi: jax.Array,
+                      num_experts: int) -> jax.Array:
+    """Switch/Mixtral auxiliary loss: ``E · Σ_e f_e · P_e``.
+
+    ``probs`` [T, E] router softmax; ``topi`` [T, k] selected experts.
+    ``f_e`` = fraction of (token, slot) assignments routed to expert e;
+    ``P_e`` = mean router probability for e. Matches HF
+    ``load_balancing_loss_func`` (modeling_mixtral.py) up to the masking
+    HF applies for padding (handled by the caller's loss mask here).
+    """
+    sel = jax.nn.one_hot(topi, num_experts, dtype=jnp.float32)  # [T, k, E]
+    f = jnp.mean(jnp.sum(sel, axis=1), axis=0) / topi.shape[-1]
+    p = jnp.mean(probs.astype(jnp.float32), axis=0)
+    return num_experts * jnp.sum(f * p)
+
+
+def _moe_mlp(
+    h: jax.Array,                 # [T, D] (post-norm tokens)
+    w_router: jax.Array,          # [D, E]
+    w_gate_up,                    # [E, D, 2I] (array or QTensor)
+    w_down,                       # [E, I, D]
+    cfg: MoEConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Routed SwiGLU experts via one-hot dispatch. Returns (y [T, D], aux)."""
+    T = h.shape[0]
+    E, K = cfg.num_experts, cfg.num_experts_per_tok
+    if cfg.capacity_factor <= 0:
+        # Lossless: top_k picks are distinct, so an expert sees ≤ T tokens.
+        C = T
+    else:
+        per = -(-T * K // E)  # ceil
+        C = min(T, max(1, int(per * cfg.capacity_factor)))
+
+    logits = jnp.dot(h.astype(jnp.float32), w_router.astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)            # [T, E] fp32
+    topv, topi = jax.lax.top_k(probs, K)               # [T, K]
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+
+    # Position-in-expert: slot-major priority (all slot-0 picks first, in
+    # token order, then slot-1, ...) so a token's primary expert wins
+    # capacity over another token's secondary pick.
+    sel = jax.nn.one_hot(topi, E, dtype=jnp.int32)     # [T, K, E]
+    flat = sel.transpose(1, 0, 2).reshape(K * T, E)
+    pos_flat = jnp.cumsum(flat, axis=0) - 1            # [KT, E]
+    pos = pos_flat.reshape(K, T, E).transpose(1, 0, 2)  # [T, K, E]
+    pos_tk = jnp.sum(pos * sel, axis=-1)               # [T, K]
+    keep = (pos_tk < C).astype(jnp.float32)
+
+    slot = jax.nn.one_hot(pos_tk, C, dtype=jnp.float32)      # [T, K, C]
+    sel32 = sel.astype(jnp.float32)
+    # dispatch [T, E, C]: 1 where token t occupies capacity slot c of e.
+    dispatch = jnp.einsum("tke,tkc,tk->tec", sel32, slot, keep)
+    combine = jnp.einsum("tke,tkc,tk,tk->tec", sel32, slot, keep,
+                         topv.astype(jnp.float32))
+
+    xe = jnp.einsum("tec,td->ecd", dispatch.astype(h.dtype), h,
+                    preferred_element_type=jnp.float32).astype(h.dtype)
+    gu = _edot(xe, w_gate_up, "ecd,edf->ecf")
+    gate, up = jnp.split(gu, 2, axis=-1)
+    h1 = (jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
+    ye = _edot(h1, w_down, "ecf,efd->ecd")
+    y = jnp.einsum("tec,ecd->td", combine.astype(jnp.float32),
+                   ye.astype(jnp.float32),
+                   preferred_element_type=jnp.float32).astype(h.dtype)
+    aux = load_balance_loss(probs, topi, E)
+    return y, aux
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+
+def moe_forward(
+    params: Dict[str, Any],
+    tokens: jax.Array,
+    cfg: MoEConfig,
+    *,
+    cache: Optional[KVCache] = None,
+    start_pos: jax.Array | int = 0,
+    kv_lens: Optional[jax.Array] = None,
+    attn_impl: str = "auto",
+    unroll: int = 1,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+    return_router_aux: bool = False,
+):
+    """``tokens [B, S] → (logits [B, S, V], cache[, aux])``.
+
+    Same engine-facing signature as the Llama family ``forward`` — the MoE
+    family serves through the shared continuous-batching Engine via
+    ``forward_fn`` like every other zoo member. ``return_router_aux``
+    additionally returns the mean per-layer load-balancing loss (scaled by
+    ``cfg.router_aux_coef`` at the training loss site, not here).
+    """
+    x = jnp.take(params["embed"], tokens, axis=0).astype(compute_dtype)
+    B, S = tokens.shape
+    D = cfg.hidden_size
+
+    start_pos = jnp.broadcast_to(jnp.asarray(start_pos, jnp.int32), (B,))
+    positions = start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
+    inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, inv_freq)
+
+    lp_stack = params["layers"]
+    Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def layer(x, lp, cache_kv):
+        h = rmsnorm(x, lp["norm_attn"], cfg.rms_eps)
+        qkv = _dot(h, lp["wqkv"])
+        q, kk, vv = jnp.split(
+            qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1
+        )
+        q = apply_rope(q.reshape(B, S, Hq, Dh), cos, sin)
+        kk = apply_rope(kk.reshape(B, S, Hk, Dh), cos, sin)
+        vv = vv.reshape(B, S, Hk, Dh)
+        if cache_kv is None:
+            attn = attention(q, kk, vv, causal=True, kv_lens=kv_lens,
+                             impl=attn_impl)
+            new_kv = None
+        else:
+            attn, new_kv = cache_append_attend(
+                q, kk, vv, cache_kv, start_pos, kv_lens, attn_impl=attn_impl
+            )
+        x = x + _dot(attn.reshape(B, S, Hq * Dh), lp["wo"])
+
+        h = rmsnorm(x, lp["norm_mlp"], cfg.rms_eps)
+        y, aux = _moe_mlp(
+            h.reshape(B * S, D), lp["w_router"], lp["w_gate_up"],
+            lp["w_down"], cfg,
+        )
+        return x + y.reshape(B, S, D), new_kv, aux
+
+    if cache is None:
+
+        def body(x, lp):
+            x, _, aux = layer(x, lp, None)
+            return x, aux
+
+        policy = _remat_policy(remat)
+        if policy is not None:
+            body = jax.checkpoint(body, policy=policy)
+        x, auxes = jax.lax.scan(body, x, lp_stack, unroll=unroll)
+        new_cache = None
+    else:
+
+        def body(carry, lp_l):
+            x, ck, cv = carry
+            lp, (k_s, v_s, l) = lp_l
+            x, (ck, cv), aux = layer(x, lp, (ck, cv, k_s, v_s, l))
+            return (x, ck, cv), aux
+
+        L = cache.k.shape[0]
+        xs = (lp_stack, (cache.k_scale, cache.v_scale,
+                         jnp.arange(L, dtype=jnp.int32)))
+        (x, new_k, new_v), auxes = jax.lax.scan(
+            body, (x, cache.k, cache.v), xs, unroll=unroll
+        )
+        new_cache = KVCache(
+            k=new_k, v=new_v,
+            lens=jnp.maximum(cache.lens, start_pos + S),
+            k_scale=cache.k_scale, v_scale=cache.v_scale,
+        )
+
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = _lm_head(params, x, cfg)
+    if return_router_aux:
+        return logits, new_cache, jnp.mean(auxes)
+    return logits, new_cache

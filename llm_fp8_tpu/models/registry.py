@@ -94,6 +94,14 @@ def resolve_model(name: str) -> ZooEntry:
         return ZooEntry(NEOX_REGISTRY[name], init_neox_params, neox_forward,
                         quantize_zoo_params)
 
+    from llm_fp8_tpu.models.moe import (
+        MOE_REGISTRY, init_moe_params, moe_forward, quantize_moe_params,
+    )
+
+    if name in MOE_REGISTRY:
+        return ZooEntry(MOE_REGISTRY[name], init_moe_params, moe_forward,
+                        quantize_moe_params)
+
     raise ValueError(
         f"unknown model {name!r}; known: {sorted(zoo_model_names())}"
     )
@@ -103,5 +111,6 @@ def zoo_model_names() -> list:
     from llm_fp8_tpu.models.config import MODEL_REGISTRY
     from llm_fp8_tpu.models.gpt2 import GPT2_REGISTRY
     from llm_fp8_tpu.models.neox import NEOX_REGISTRY
+    from llm_fp8_tpu.models.moe import MOE_REGISTRY
 
-    return [*MODEL_REGISTRY, *GPT2_REGISTRY, *NEOX_REGISTRY]
+    return [*MODEL_REGISTRY, *GPT2_REGISTRY, *NEOX_REGISTRY, *MOE_REGISTRY]
