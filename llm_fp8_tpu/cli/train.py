@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--cp", type=int, default=1,
                    help="context-parallel degree (ring attention over the "
                         "sequence; long-context training)")
+    m.add_argument("--ep", type=int, default=1,
+                   help="expert-parallel degree (MoE family: experts "
+                        "sharded over the mesh ep axis)")
     m.add_argument("--multihost", action="store_true",
                    help="Call jax.distributed.initialize() (multi-host slice;"
                         " replaces the reference's torchrun/NCCL bootstrap,"
@@ -171,7 +174,8 @@ def main(argv=None):
             f"family; use the family pack_* loaders for {args.model_name}"
         )
     mesh = make_mesh(
-        MeshConfig(dp=args.dp, fsdp=args.fsdp, cp=args.cp, tp=args.tp)
+        MeshConfig(dp=args.dp, fsdp=args.fsdp, cp=args.cp, ep=args.ep,
+                   tp=args.tp)
     )
     params = shard_params(params, mesh)
 

@@ -325,6 +325,8 @@ def moe_forward(
     unroll: int = 1,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    dropout_p: float = 0.0,
+    dropout_seed: jax.Array | int = 0,
     return_router_aux: bool = False,
 ):
     """``tokens [B, S] → (logits [B, S, V], cache[, aux])``.
@@ -347,7 +349,9 @@ def moe_forward(
     lp_stack = params["layers"]
     Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    def layer(x, lp, cache_kv):
+    seed0 = jnp.asarray(dropout_seed, jnp.int32)
+
+    def layer(x, lp, cache_kv, li=0):
         h = rmsnorm(x, lp["norm_attn"], cfg.rms_eps)
         qkv = _dot(h, lp["wqkv"])
         q, kk, vv = jnp.split(
@@ -358,7 +362,8 @@ def moe_forward(
         vv = vv.reshape(B, S, Hk, Dh)
         if cache_kv is None:
             attn = attention(q, kk, vv, causal=True, kv_lens=kv_lens,
-                             impl=attn_impl)
+                             impl=attn_impl, dropout_p=dropout_p,
+                             dropout_seed=seed0 + li * 7919)
             new_kv = None
         else:
             attn, new_kv = cache_append_attend(
@@ -374,15 +379,20 @@ def moe_forward(
         return x + y.reshape(B, S, D), new_kv, aux
 
     if cache is None:
+        L = jax.tree_util.tree_leaves(lp_stack)[0].shape[0]
 
-        def body(x, lp):
-            x, _, aux = layer(x, lp, None)
+        def body(x, lp_l):
+            lp, li = lp_l
+            x, _, aux = layer(x, lp, None, li)
             return x, aux
 
         policy = _remat_policy(remat)
         if policy is not None:
             body = jax.checkpoint(body, policy=policy)
-        x, auxes = jax.lax.scan(body, x, lp_stack, unroll=unroll)
+        x, auxes = jax.lax.scan(
+            body, x, (lp_stack, jnp.arange(L, dtype=jnp.int32)),
+            unroll=unroll,
+        )
         new_cache = None
     else:
 

@@ -17,6 +17,11 @@ slice, axes ``(dp, fsdp, tp)``:
                context training (``parallel/ring_attention.py``). Beyond the
                reference, whose levers stop at sliding windows. Size 1 by
                default; the axis always exists so specs can name it.
+  * ``ep``   — expert parallel: the *expert* dimension of the MoE family's
+               stacked ``[L, E, ...]`` weights (``models/moe.py``). Beyond
+               the reference (no MoE there); GSPMD partitions the dispatch/
+               combine einsums over this axis, inserting the all-to-all-class
+               collectives NCCL MoE stacks hand-write. Size 1 by default.
   * ``tp``   — tensor parallel (reference: ColumnParallel/RowParallelLinear +
                ParallelMHA, ``fused_dense.py:166-248``, ``mha.py:707-993``).
                Keep within a host so collectives ride ICI.
@@ -38,13 +43,14 @@ from jax.sharding import Mesh
 
 __all__ = [
     "MeshConfig", "make_mesh",
-    "AXIS_DP", "AXIS_FSDP", "AXIS_PP", "AXIS_CP", "AXIS_TP",
+    "AXIS_DP", "AXIS_FSDP", "AXIS_PP", "AXIS_CP", "AXIS_EP", "AXIS_TP",
 ]
 
 AXIS_DP = "dp"
 AXIS_FSDP = "fsdp"
 AXIS_PP = "pp"
 AXIS_CP = "cp"
+AXIS_EP = "ep"
 AXIS_TP = "tp"
 
 
@@ -58,19 +64,21 @@ class MeshConfig:
     fsdp: int = -1  # -1: absorb remaining devices
     pp: int = 1
     cp: int = 1
+    ep: int = 1
     tp: int = 1
 
     def resolve(self, n_devices: int) -> "MeshConfig":
-        dp, fsdp, pp, cp, tp = self.dp, self.fsdp, self.pp, self.cp, self.tp
+        dp, fsdp, pp, cp, ep, tp = (self.dp, self.fsdp, self.pp, self.cp,
+                                    self.ep, self.tp)
         if fsdp == -1:
-            rest = dp * pp * cp * tp
-            assert n_devices % rest == 0, (n_devices, dp, pp, cp, tp)
+            rest = dp * pp * cp * ep * tp
+            assert n_devices % rest == 0, (n_devices, dp, pp, cp, ep, tp)
             fsdp = n_devices // rest
-        if dp * fsdp * pp * cp * tp != n_devices:
+        if dp * fsdp * pp * cp * ep * tp != n_devices:
             raise ValueError(
-                f"mesh {dp}x{fsdp}x{pp}x{cp}x{tp} != {n_devices} devices"
+                f"mesh {dp}x{fsdp}x{pp}x{cp}x{ep}x{tp} != {n_devices} devices"
             )
-        return MeshConfig(dp=dp, fsdp=fsdp, pp=pp, cp=cp, tp=tp)
+        return MeshConfig(dp=dp, fsdp=fsdp, pp=pp, cp=cp, ep=ep, tp=tp)
 
 
 def make_mesh(
@@ -80,6 +88,7 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     cfg = config.resolve(len(devices))
     arr = np.asarray(devices).reshape(
-        cfg.dp, cfg.fsdp, cfg.pp, cfg.cp, cfg.tp
+        cfg.dp, cfg.fsdp, cfg.pp, cfg.cp, cfg.ep, cfg.tp
     )
-    return Mesh(arr, (AXIS_DP, AXIS_FSDP, AXIS_PP, AXIS_CP, AXIS_TP))
+    return Mesh(arr, (AXIS_DP, AXIS_FSDP, AXIS_PP, AXIS_CP, AXIS_EP,
+                      AXIS_TP))

@@ -28,7 +28,7 @@ from typing import Any, Dict, Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import AXIS_DP, AXIS_FSDP, AXIS_TP
+from .mesh import AXIS_DP, AXIS_EP, AXIS_FSDP, AXIS_TP
 
 __all__ = [
     "param_specs",
@@ -65,6 +65,20 @@ _RULES: Dict[str, tuple] = {
     "w_fc": (None, AXIS_FSDP, AXIS_TP),
     "b_fc": (None, AXIS_TP),
     "w_proj": (None, AXIS_TP, AXIS_FSDP),
+    # MoE family (models/moe.py): stacked expert weights [L, E, K, N] put
+    # the expert dim on ``ep`` (expert parallelism — GSPMD partitions the
+    # dispatch/combine einsums) and keep the column/row assignment on the
+    # inner GEMM dims. The router stays replicated: it is tiny and its
+    # output decides routing for *every* token on every shard.
+    "w_router": (None, None, None),
+}
+
+#: Same leaf name, different rank: the MoE family's ``w_gate_up``/``w_down``
+#: are 4-D ``[L, E, K, N]`` where the dense families' are 3-D ``[L, K, N]``.
+#: ``_spec_for_leaf`` picks the candidate whose rank matches the shape.
+_RULES_BY_NDIM: Dict[tuple, tuple] = {
+    ("w_gate_up", 4): (None, AXIS_EP, AXIS_FSDP, AXIS_TP),
+    ("w_down", 4): (None, AXIS_EP, AXIS_TP, AXIS_FSDP),
 }
 
 
@@ -75,7 +89,7 @@ def _spec_for_leaf(name: str, shape, mesh: Mesh) -> P:
     divisible by the mesh axis (tiny debug models on big meshes) fall back to
     replicated — correctness never depends on the spec.
     """
-    rule = _RULES.get(name)
+    rule = _RULES_BY_NDIM.get((name, len(shape)), _RULES.get(name))
     if rule is None:
         return P()
     # A scale for an MX/per-channel QTensor has the same ndim; other ranks

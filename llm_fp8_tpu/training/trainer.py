@@ -206,6 +206,7 @@ class Trainer:
         # into the loss (Llama-family forwards only — the zoo families fall
         # back to the materialized-logits path).
         chunked = self.cfg.ce_chunks > 1 and self._fwd is forward
+        router_aux = None
         if self.recipes.enabled:
             scales = forward_scales(qstate, self.model_cfg)
             logits, amaxes = forward_fp8_train(
@@ -224,10 +225,17 @@ class Trainer:
             if self._fwd is forward:
                 kw.update(cp_axis=self.cp_axis, cp_mesh=self.cp_mesh,
                           return_hidden=chunked)
+            # MoE family: thread the router's load-balancing auxiliary loss
+            # out of the forward (Switch/Mixtral E·Σf·P; the coefficient is
+            # applied below, matching HF's router_aux_loss_coef treatment).
+            is_moe = hasattr(self.model_cfg, "router_aux_coef")
+            if is_moe:
+                kw.update(return_router_aux=True)
             out = self._fwd(params, tokens, self.model_cfg, **kw)
             # Llama-family forward returns (logits, cache); the zoo
             # forwards return bare logits when no cache is passed.
             logits = out[0] if isinstance(out, tuple) else out
+            router_aux = out[2] if is_moe else None
             amaxes = {}
         if chunked:
             loss, n_tokens = chunked_causal_lm_loss(
@@ -242,6 +250,8 @@ class Trainer:
                 z_loss=self.cfg.z_loss,
                 label_smoothing=self.cfg.label_smoothing,
             )
+        if router_aux is not None:
+            loss = loss + self.model_cfg.router_aux_coef * router_aux
         return loss, (n_tokens, amaxes)
 
     def _train_step_impl(self, state: TrainState, batch):

@@ -223,3 +223,101 @@ class TestQuantized:
             compute_dtype=jnp.float32, attn_impl="ref",
         )
         assert logits.shape == (1, 6, CFG.vocab_size)
+
+
+class TestExpertParallel:
+    """EP-sharded forward vs single-device — the reference-style sharded/
+    unsharded comparison (SURVEY.md §4) on the ``ep`` mesh axis."""
+
+    @pytest.mark.parametrize(
+        "mesh_kw",
+        # fsdp = -1 absorbs the leftover devices of the 8-device mesh, so
+        # every case also exercises ep × fsdp composition.
+        [dict(ep=4), dict(ep=2, tp=2), dict(dp=2, ep=2),
+         dict(ep=8, fsdp=1)],
+        ids=["ep4_fsdp2", "ep2tp2_fsdp2", "dp2ep2_fsdp2", "ep8_replfallback"],
+    )
+    def test_ep_sharded_matches_single_device(self, mesh_kw):
+        from jax.sharding import NamedSharding
+        from llm_fp8_tpu.parallel import (
+            MeshConfig, make_mesh, shard_params, batch_spec, param_specs,
+        )
+
+        params = init_moe_params(CFG_FULL, jax.random.PRNGKey(7),
+                                 dtype=jnp.float32)
+        tokens = jax.random.randint(jax.random.PRNGKey(8), (4, 16), 0,
+                                    CFG_FULL.vocab_size)
+        want, _ = moe_forward(params, tokens, CFG_FULL,
+                              compute_dtype=jnp.float32, attn_impl="ref")
+
+        mesh = make_mesh(MeshConfig(**mesh_kw))
+        # The expert axis must actually shard over ep (E=4 divisible).
+        specs = param_specs(params, mesh)
+        gu_spec = specs["layers"]["w_gate_up"]
+        if 1 < mesh.shape["ep"] <= CFG_FULL.num_experts:
+            assert "ep" in str(gu_spec), gu_spec
+        sharded = shard_params(params, mesh)
+        tok = jax.device_put(tokens, NamedSharding(mesh, batch_spec()))
+
+        @jax.jit
+        def f(p, t):
+            logits, _ = moe_forward(p, t, CFG_FULL,
+                                    compute_dtype=jnp.float32,
+                                    attn_impl="ref")
+            return logits
+
+        got = f(sharded, tok)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestMoETraining:
+    def test_trainer_runs_and_loss_decreases(self):
+        from llm_fp8_tpu.training import TrainConfig, Trainer
+
+        cfg = CFG  # production capacity_factor (2.0)
+        trainer = Trainer(
+            cfg,
+            TrainConfig(learning_rate=5e-3, warmup_steps=2, total_steps=30,
+                        recipes="bf16"),
+            attn_impl="ref",
+            forward_fn=moe_forward,
+        )
+        params = init_moe_params(cfg, jax.random.PRNGKey(0),
+                                 dtype=jnp.float32)
+        state = trainer.init_state(params)
+        tok = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                 cfg.vocab_size)
+        batch = {"input_ids": tok,
+                 "attention_mask": jnp.ones_like(tok)}
+        losses = []
+        for _ in range(25):
+            state, metrics = trainer.train_step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.7, losses[::6]
+
+    def test_router_receives_gradient(self):
+        # The router weight gets gradient through the combine weights and
+        # the load-balancing aux term; it must be nonzero under the Trainer
+        # loss (a silently-dead router would never learn to route).
+        from llm_fp8_tpu.training import TrainConfig, Trainer
+
+        trainer = Trainer(
+            CFG,
+            TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=4,
+                        recipes="bf16"),
+            attn_impl="ref",
+            forward_fn=moe_forward,
+        )
+        params = init_moe_params(CFG, jax.random.PRNGKey(3),
+                                 dtype=jnp.float32)
+        tok = jax.random.randint(jax.random.PRNGKey(4), (2, 8), 0,
+                                 CFG.vocab_size)
+        batch = {"input_ids": tok, "attention_mask": jnp.ones_like(tok)}
+        grads = jax.grad(
+            lambda p: trainer._forward_loss(p, None, batch, {})[0]
+        )(params)
+        g_router = np.asarray(grads["layers"]["w_router"])
+        assert np.abs(g_router).max() > 0.0
+        g_experts = np.asarray(grads["layers"]["w_gate_up"])
+        assert np.abs(g_experts).max() > 0.0
