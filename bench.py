@@ -262,8 +262,17 @@ def _probe_device_or_die(timeout_s: float = 300.0):
             timeout=timeout_s, capture_output=True, text=True,
         )
         if out.returncode == 0:
-            return
-        err = f"device init rc={out.returncode}: {out.stderr.strip()[-300:]}"
+            backend = (out.stdout.split() or ["?"])[0]
+            # A silent CPU fallback would burn the whole driver budget and
+            # end in the same evidence-free rc=124 this probe exists to
+            # prevent — fail it explicitly (override for local CPU smoke
+            # runs with LLM_FP8_BENCH_ALLOW_CPU=1).
+            if backend != "cpu" or os.environ.get("LLM_FP8_BENCH_ALLOW_CPU"):
+                return
+            err = "backend initialized as 'cpu' (TPU plugin not selected?)"
+        else:
+            err = (f"device init rc={out.returncode}: "
+                   f"{out.stderr.strip()[-300:]}")
     except subprocess.TimeoutExpired:
         err = f"device init timed out after {timeout_s:.0f}s (tunnel down?)"
     print(json.dumps({

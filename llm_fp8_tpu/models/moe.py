@@ -55,13 +55,19 @@ class MoEConfig(ModelConfig):
 
     num_experts: int = 8
     num_experts_per_tok: int = 2
-    #: Dispatch-path expert capacity factor: each expert processes at most
-    #: ``ceil(T · k / E) · capacity_factor`` tokens per step; overflow
-    #: assignments are dropped (their combine weight is zero), the standard
-    #: GShard trade for static shapes. ``<= 0`` means full capacity
-    #: (``C = T``, lossless — used by the parity tests and decode, where
-    #: T = batch is small).
+    #: Dispatch-path expert capacity factor: within each routing group,
+    #: an expert processes at most ``ceil(g · k / E) · capacity_factor``
+    #: tokens; overflow assignments are dropped (their combine weight is
+    #: zero), the standard GShard trade for static shapes. ``<= 0`` means
+    #: full capacity (``C = g``, lossless). The serving/decode path (any
+    #: call with a KV cache) always runs lossless — dropped tokens would
+    #: silently diverge served logits from HF, and decode batches are small.
     capacity_factor: float = 2.0
+    #: GShard-style routing group size: tokens are routed within groups of
+    #: this many, which bounds the dispatch tensors at [g, E, C] per group —
+    #: memory and dispatch-einsum FLOPs stay *linear* in sequence length
+    #: instead of the quadratic blowup of a single global group.
+    moe_group_size: int = 512
     router_aux_coef: float = 0.02
 
     def num_params(self) -> int:
@@ -240,20 +246,28 @@ def _edot(x: jax.Array, w, pattern: str) -> jax.Array:
                       preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def load_balance_loss(probs: jax.Array, topi: jax.Array,
-                      num_experts: int) -> jax.Array:
-    """Switch/Mixtral auxiliary loss: ``E · Σ_e f_e · P_e``.
+def load_balance_loss(probs: jax.Array, topi: jax.Array, num_experts: int,
+                      token_mask: Optional[jax.Array] = None) -> jax.Array:
+    """Switch/Mixtral auxiliary loss: ``E · Σ_{k,e} f_{k,e} · P_e``.
 
-    ``probs`` [T, E] router softmax; ``topi`` [T, k] selected experts.
-    ``f_e`` = fraction of (token, slot) assignments routed to expert e;
-    ``P_e`` = mean router probability for e. Matches HF
-    ``load_balancing_loss_func`` (modeling_mixtral.py) up to the masking
-    HF applies for padding (handled by the caller's loss mask here).
+    ``probs`` [T, E] router softmax; ``topi`` [T, K] selected experts;
+    ``token_mask`` [T] optionally excludes padding tokens from both
+    statistics. Matches HF ``load_balancing_loss_func``
+    (modeling_mixtral.py:483-561) exactly: ``f`` is the per-slot mean of
+    the one-hot selections (NOT divided by K — uniform routing yields K,
+    not 1) and padding is masked out of both means.
     """
-    sel = jax.nn.one_hot(topi, num_experts, dtype=jnp.float32)  # [T, k, E]
-    f = jnp.mean(jnp.sum(sel, axis=1), axis=0) / topi.shape[-1]
-    p = jnp.mean(probs.astype(jnp.float32), axis=0)
-    return num_experts * jnp.sum(f * p)
+    sel = jax.nn.one_hot(topi, num_experts, dtype=jnp.float32)  # [T, K, E]
+    p32 = probs.astype(jnp.float32)
+    if token_mask is None:
+        f = jnp.mean(sel, axis=0)                               # [K, E]
+        p = jnp.mean(p32, axis=0)                               # [E]
+    else:
+        m = token_mask.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        f = jnp.sum(sel * m[:, None, None], axis=0) / denom
+        p = jnp.sum(p32 * m[:, None], axis=0) / denom
+    return num_experts * jnp.sum(f * p[None, :])
 
 
 def _moe_mlp(
@@ -262,50 +276,81 @@ def _moe_mlp(
     w_gate_up,                    # [E, D, 2I] (array or QTensor)
     w_down,                       # [E, I, D]
     cfg: MoEConfig,
+    *,
+    token_mask: Optional[jax.Array] = None,  # [T] 1=real, 0=padding
+    lossless: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Routed SwiGLU experts via one-hot dispatch. Returns (y [T, D], aux)."""
-    T = h.shape[0]
+    """Routed SwiGLU experts via grouped one-hot dispatch.
+
+    Tokens are routed within groups of ``cfg.moe_group_size`` (GShard's
+    fixed-size groups): the dispatch/combine tensors are ``[G, g, E, C]``
+    with per-group capacity C, so memory and dispatch-einsum FLOPs scale
+    linearly with sequence length. ``lossless=True`` (the serving path)
+    sets C = g — no assignment is ever dropped. Padding tokens
+    (``token_mask`` 0) neither claim capacity nor enter the aux statistics.
+
+    Returns ``(y [T, D], aux)``.
+    """
+    T, D = h.shape
     E, K = cfg.num_experts, cfg.num_experts_per_tok
-    if cfg.capacity_factor <= 0:
-        # Lossless: top_k picks are distinct, so an expert sees ≤ T tokens.
-        C = T
-    else:
-        per = -(-T * K // E)  # ceil
-        C = min(T, max(1, int(per * cfg.capacity_factor)))
 
     logits = jnp.dot(h.astype(jnp.float32), w_router.astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)            # [T, E] fp32
     topv, topi = jax.lax.top_k(probs, K)               # [T, K]
     topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    aux = load_balance_loss(probs, topi, E, token_mask)
 
-    # Position-in-expert: slot-major priority (all slot-0 picks first, in
-    # token order, then slot-1, ...) so a token's primary expert wins
-    # capacity over another token's secondary pick.
-    sel = jax.nn.one_hot(topi, E, dtype=jnp.int32)     # [T, K, E]
-    flat = sel.transpose(1, 0, 2).reshape(K * T, E)
-    pos_flat = jnp.cumsum(flat, axis=0) - 1            # [KT, E]
-    pos = pos_flat.reshape(K, T, E).transpose(1, 0, 2)  # [T, K, E]
-    pos_tk = jnp.sum(pos * sel, axis=-1)               # [T, K]
-    keep = (pos_tk < C).astype(jnp.float32)
+    # Group: pad T to a multiple of g with masked-out rows.
+    g = min(T, max(1, cfg.moe_group_size))
+    Tp = -(-T // g) * g
+    valid = (jnp.ones((T,), jnp.float32) if token_mask is None
+             else token_mask.astype(jnp.float32))
+    if Tp != T:
+        h = jnp.pad(h, ((0, Tp - T), (0, 0)))
+        topi = jnp.pad(topi, ((0, Tp - T), (0, 0)))
+        topv = jnp.pad(topv, ((0, Tp - T), (0, 0)))
+        valid = jnp.pad(valid, (0, Tp - T))
+    G = Tp // g
+    if lossless or cfg.capacity_factor <= 0:
+        C = g  # top_k picks are distinct → an expert sees ≤ g tokens/group
+    else:
+        per = -(-g * K // E)  # ceil
+        C = min(g, max(1, int(per * cfg.capacity_factor)))
 
-    slot = jax.nn.one_hot(pos_tk, C, dtype=jnp.float32)      # [T, K, C]
-    sel32 = sel.astype(jnp.float32)
-    # dispatch [T, E, C]: 1 where token t occupies capacity slot c of e.
-    dispatch = jnp.einsum("tke,tkc,tk->tec", sel32, slot, keep)
-    combine = jnp.einsum("tke,tkc,tk,tk->tec", sel32, slot, keep,
-                         topv.astype(jnp.float32))
+    # Masked selections never claim a capacity slot.
+    sel = (jax.nn.one_hot(topi, E, dtype=jnp.int32)
+           * valid[:, None, None].astype(jnp.int32))     # [Tp, K, E]
+    selg = sel.reshape(G, g, K, E)
+    # Position-in-expert, slot-major within the group (a token's primary
+    # expert wins capacity over another token's secondary pick).
+    flat = selg.transpose(0, 2, 1, 3).reshape(G, K * g, E)
+    pos_flat = jnp.cumsum(flat, axis=1) - 1              # [G, Kg, E]
+    pos = pos_flat.reshape(G, K, g, E).transpose(0, 2, 1, 3)  # [G, g, K, E]
+    pos_tk = jnp.sum(pos * selg, axis=-1)                # [G, g, K]
+    keep = ((pos_tk < C) & (jnp.sum(selg, axis=-1) > 0)).astype(jnp.float32)
 
-    xe = jnp.einsum("tec,td->ecd", dispatch.astype(h.dtype), h,
+    slot = jax.nn.one_hot(pos_tk, C, dtype=jnp.float32)  # [G, g, K, C]
+    sel32 = selg.astype(jnp.float32)
+    dispatch = jnp.einsum("gtke,gtkc,gtk->gtec", sel32, slot, keep)
+    combine = jnp.einsum("gtke,gtkc,gtk,gtk->gtec", sel32, slot, keep,
+                         topv.reshape(G, g, K).astype(jnp.float32))
+
+    hg = h.reshape(G, g, D)
+    xe = jnp.einsum("gtec,gtd->gecd", dispatch.astype(h.dtype), hg,
                     preferred_element_type=jnp.float32).astype(h.dtype)
-    gu = _edot(xe, w_gate_up, "ecd,edf->ecf")
+    # Batched expert FFN over E with all groups' capacity rows concatenated:
+    # [G, E, C, D] → [E, G·C, D] keeps the per-expert GEMMs large and MXU-
+    # shaped regardless of the group count.
+    xe2 = xe.transpose(1, 0, 2, 3).reshape(E, G * C, D)
+    gu = _edot(xe2, w_gate_up, "ecd,edf->ecf")
     gate, up = jnp.split(gu, 2, axis=-1)
     h1 = (jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up)
-    ye = _edot(h1, w_down, "ecf,efd->ecd")
-    y = jnp.einsum("tec,ecd->td", combine.astype(jnp.float32),
-                   ye.astype(jnp.float32),
+    ye = _edot(h1, w_down, "ecf,efd->ecd")               # [E, G·C, D]
+    yg = ye.reshape(E, G, C, D).transpose(1, 0, 2, 3)    # [G, E, C, D]
+    y = jnp.einsum("gtec,gecd->gtd", combine.astype(jnp.float32),
+                   yg.astype(jnp.float32),
                    preferred_element_type=jnp.float32).astype(h.dtype)
-    aux = load_balance_loss(probs, topi, E)
-    return y, aux
+    return y.reshape(Tp, D)[:T], aux
 
 
 # --------------------------------------------------------------------------
@@ -327,6 +372,7 @@ def moe_forward(
     remat: bool = False,
     dropout_p: float = 0.0,
     dropout_seed: jax.Array | int = 0,
+    token_mask: Optional[jax.Array] = None,
     return_router_aux: bool = False,
 ):
     """``tokens [B, S] → (logits [B, S, V], cache[, aux])``.
@@ -375,6 +421,11 @@ def moe_forward(
         y, aux = _moe_mlp(
             h.reshape(B * S, D), lp["w_router"], lp["w_gate_up"],
             lp["w_down"], cfg,
+            token_mask=(None if token_mask is None
+                        else token_mask.reshape(B * S)),
+            # Serving must never drop an assignment — dropped tokens would
+            # silently diverge served logits; decode/prefill T is small.
+            lossless=cache_kv is not None,
         )
         return x + y.reshape(B, S, D), new_kv, aux
 
@@ -399,7 +450,7 @@ def moe_forward(
         def body(carry, lp_l):
             x, ck, cv = carry
             lp, (k_s, v_s, l) = lp_l
-            x, (ck, cv), aux = layer(x, lp, (ck, cv, k_s, v_s, l))
+            x, (ck, cv), aux = layer(x, lp, (ck, cv, k_s, v_s, l), l)
             return (x, ck, cv), aux
 
         L = cache.k.shape[0]

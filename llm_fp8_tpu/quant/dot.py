@@ -109,6 +109,8 @@ def _use_fused_quantize() -> bool:
     # Opt-in single-pass Pallas amax+quantize (kernels/quantize.py): the
     # operand streams from HBM once instead of twice. Off by default until
     # the TPU measurement confirms the win (docs/PERF_NOTES.md agenda).
+    # Read at TRACE time (like LLM_FP8_QDOT): set it before the first
+    # compile — flipping it later has no effect on cached executables.
     import os
 
     return os.environ.get("LLM_FP8_QUANTIZE", "xla") == "pallas"
@@ -116,11 +118,18 @@ def _use_fused_quantize() -> bool:
 
 def _quantize_channel(t: jax.Array, fmt, contract_axis: int,
                       margin: int) -> QTensor:
-    """Per-channel quantize, via the fused Pallas kernel when enabled."""
+    """Per-channel quantize, via the fused Pallas kernel when enabled.
+
+    VMEM guards: the kernel holds a full contraction strip per tile (the
+    amax needs the whole reduced axis in one block), so oversized strips
+    fall back to the XLA two-pass path — the row variant shrinks its row
+    block down to 8 (strip ≈ 7·K bytes), the column variant is pinned at
+    128 lanes (strip ≈ 900·K bytes, so K caps much lower).
+    """
     if _use_fused_quantize():
         from llm_fp8_tpu.kernels.quantize import quantize_fused
 
-        if contract_axis == t.ndim - 1:
+        if contract_axis == t.ndim - 1 and t.shape[-1] <= 65536:
             t2 = t.reshape(-1, t.shape[-1])
             q = quantize_fused(t2, fmt, axis=-1, margin=margin)
             return QTensor(
@@ -128,9 +137,9 @@ def _quantize_channel(t: jax.Array, fmt, contract_axis: int,
                 scale=q.scale.reshape(t.shape[:-1] + (1,)),
                 fmt=fmt,
             )
-        if t.ndim == 2 and contract_axis == 0:
+        if t.ndim == 2 and contract_axis == 0 and t.shape[0] <= 4096:
             return quantize_fused(t, fmt, axis=0, margin=margin)
-        # Fall through for layouts the kernel doesn't cover.
+        # Fall through for layouts/sizes the kernel doesn't cover.
     return quantize(t, fmt, axes=(contract_axis,), margin=margin)
 
 

@@ -230,7 +230,9 @@ class Trainer:
             # applied below, matching HF's router_aux_loss_coef treatment).
             is_moe = hasattr(self.model_cfg, "router_aux_coef")
             if is_moe:
-                kw.update(return_router_aux=True)
+                # token_mask keeps padding out of expert capacity and the
+                # aux statistics (HF masks both, modeling_mixtral.py:524+).
+                kw.update(return_router_aux=True, token_mask=mask)
             out = self._fwd(params, tokens, self.model_cfg, **kw)
             # Llama-family forward returns (logits, cache); the zoo
             # forwards return bare logits when no cache is passed.

@@ -321,3 +321,96 @@ class TestMoETraining:
         assert np.abs(g_router).max() > 0.0
         g_experts = np.asarray(grads["layers"]["w_gate_up"])
         assert np.abs(g_experts).max() > 0.0
+
+
+class TestGroupedDispatch:
+    def test_grouped_lossless_matches_hf(self):
+        # Multiple routing groups (G > 1) with lossless capacity must still
+        # reproduce HF exactly — grouping only bounds memory, not routing.
+        cfg = __import__("dataclasses").replace(
+            CFG_FULL, moe_group_size=4
+        )  # T = 2*12 = 24 → G = 6 groups
+        model, sd = hf_mixtral_and_state(cfg)
+        params = pack_mixtral_state_dict(sd, cfg, dtype=jnp.float32)
+        tokens = (np.arange(24, dtype=np.int32).reshape(2, 12) * 11
+                  ) % cfg.vocab_size
+        want = hf_logits(model, tokens)
+        got, _ = moe_forward(params, jnp.asarray(tokens), cfg,
+                             compute_dtype=jnp.float32, attn_impl="ref")
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                   atol=2e-4)
+
+    def test_padding_tokens_do_not_claim_capacity(self):
+        # All 16 tokens (8 masked junk FIRST, then 8 real) route to expert
+        # 0 with capacity C=8 — exactly the real-token count. If the mask
+        # failed, the junk rows would claim every capacity slot (token-order
+        # priority) and the real rows would come back zero.
+        from llm_fp8_tpu.models.moe import _moe_mlp
+
+        cfg = __import__("dataclasses").replace(
+            CFG, capacity_factor=1.0, num_experts=2, num_experts_per_tok=1,
+            moe_group_size=16,
+        )  # g=16, K=1, E=2 → per=8, C=8
+        D = cfg.hidden_size
+        key = jax.random.PRNGKey(0)
+        h_real = jnp.abs(jax.random.normal(key, (8, D), jnp.float32)) + 0.1
+        junk = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (8, D),
+                                         jnp.float32)) + 0.1
+        w_router = jnp.zeros((D, 2), jnp.float32).at[0, 0].set(100.0)
+        params = init_moe_params(cfg, jax.random.PRNGKey(1),
+                                 dtype=jnp.float32)
+        lp = params["layers"]
+
+        h_pad = jnp.concatenate([junk, h_real])
+        mask = jnp.concatenate([jnp.zeros((8,)), jnp.ones((8,))])
+        y_pad, _ = _moe_mlp(h_pad, w_router, lp["w_gate_up"][0],
+                            lp["w_down"][0], cfg, token_mask=mask)
+        # Dense expert-0 reference on the real rows (routing weight = 1.0).
+        wg, wd = lp["w_gate_up"][0, 0], lp["w_down"][0, 0]
+        gate, up = jnp.split(h_real @ wg, 2, axis=-1)
+        want = (jax.nn.silu(gate) * up) @ wd
+        np.testing.assert_allclose(np.asarray(y_pad[8:]), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y_pad[:8]), 0.0, atol=0)
+
+    def test_aux_matches_hf_load_balancing(self):
+        # Our load_balance_loss vs transformers' load_balancing_loss_func
+        # on the same random logits, with and without an attention mask.
+        import torch
+        from transformers.models.mixtral.modeling_mixtral import (
+            load_balancing_loss_func,
+        )
+
+        T, E, K = 24, 4, 2
+        rng = np.random.default_rng(0)
+        logits = rng.normal(size=(T, E)).astype(np.float32)
+        probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+        topv, topi = jax.lax.top_k(probs, K)
+
+        want = float(load_balancing_loss_func(
+            (torch.from_numpy(logits),), num_experts=E, top_k=K,
+        ))
+        got = float(load_balance_loss(probs, topi, E))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+        # Masked: HF wants attention_mask [batch, seq]; use batch=2.
+        mask_np = np.ones((2, T // 2), dtype=np.int64)
+        mask_np[0, -3:] = 0
+        want_m = float(load_balancing_loss_func(
+            (torch.from_numpy(logits),), num_experts=E, top_k=K,
+            attention_mask=torch.from_numpy(mask_np),
+        ))
+        got_m = float(load_balance_loss(
+            probs, topi, E, jnp.asarray(mask_np.reshape(-1))
+        ))
+        np.testing.assert_allclose(got_m, want_m, rtol=1e-5)
+
+    def test_uniform_aux_is_k(self):
+        # HF semantics: uniform routing yields K (no division by top_k).
+        T, E, K = 64, 4, 2
+        probs = jnp.full((T, E), 1.0 / E)
+        # Distinct experts per slot for a clean uniform assignment.
+        topi = jnp.stack([(jnp.arange(T) % E),
+                          ((jnp.arange(T) + 1) % E)], axis=1)
+        aux = load_balance_loss(probs, topi, E)
+        np.testing.assert_allclose(float(aux), float(K), rtol=1e-6)
