@@ -169,7 +169,8 @@ def main(argv=None):
                           flush=True)
         jax.block_until_ready(state.params["final_norm"])
         wall = time.perf_counter() - t0
-        eval_iter = dm.batches(eval_seqs, args.batch_size, shuffle=False)
+        eval_iter = dm.batches(eval_seqs, args.batch_size, shuffle=False,
+                               drop_last=False)
         if args.max_eval_batches is not None:
             import itertools
 

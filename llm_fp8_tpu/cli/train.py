@@ -240,7 +240,8 @@ def main(argv=None):
             ev = trainer.evaluate(
                 state.params,
                 (put(b) for b in dm.batches(eval_seqs, dm.config.eval_bs,
-                                            shuffle=False)),
+                                            shuffle=False,
+                                            drop_last=False)),
             )
             logger.log(ev, step, prefix="eval")
             print(f"epoch {epoch}: eval {ev}")

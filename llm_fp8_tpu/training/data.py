@@ -110,6 +110,7 @@ class DataManager:
     def batches(
         self, seqs: Sequence[np.ndarray], batch_size: int, *, shuffle: bool,
         seed: int = 0, pad_token_id: Optional[int] = None,
+        drop_last: bool = True,
     ) -> Iterator[Dict[str, np.ndarray]]:
         pad_id = (
             pad_token_id
@@ -121,6 +122,7 @@ class DataManager:
             max_len=self.config.max_seq_length,
             pad_to_multiple_of=self.config.pad_to_multiple_of,
             pad_token_id=pad_id, shuffle=shuffle, seed=seed,
+            drop_last=drop_last,
         )
 
 
@@ -134,18 +136,28 @@ def make_batches(
     shuffle: bool = False,
     seed: int = 0,
     static_shape: bool = True,
+    drop_last: bool = True,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Collate: right-pad to a bucket length; mask marks real tokens.
 
     ``static_shape=True`` pads every batch to ``max_len`` rounded up to the
     multiple — one compiled program for the whole run (the jit equivalent of
     the reference's CUDA-graph-friendly ``pad_to_multiple_of=16`` collator).
+
+    ``drop_last=False`` keeps the trailing partial batch, padded to the full
+    ``batch_size`` with all-masked rows (zero attention_mask ⇒ zero weight in
+    the token-weighted loss) — eval must see every held-out sequence even
+    when the split is smaller than one batch.
     """
     order = np.arange(len(seqs))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
     bucket = -(-max_len // pad_to_multiple_of) * pad_to_multiple_of
-    for start in range(0, len(order) - batch_size + 1, batch_size):
+    starts = list(range(0, len(order) - batch_size + 1, batch_size))
+    tail = len(starts) * batch_size
+    if not drop_last and tail < len(order):
+        starts.append(tail)  # partial chunk, padded with empty rows below
+    for start in starts:
         chunk = [seqs[i] for i in order[start : start + batch_size]]
         if not static_shape:
             longest = max(len(s) for s in chunk)

@@ -397,3 +397,35 @@ class TestAttentionDropout:
         e1 = t1.evaluate(params, [batch])
         e2 = t2.evaluate(params, [batch])
         assert e1["eval_loss"] == e2["eval_loss"]
+
+
+class TestPartialEvalBatch:
+    def test_drop_last_false_pads_with_masked_rows(self):
+        from llm_fp8_tpu.training.data import make_batches
+
+        seqs = [np.arange(1, 6, dtype=np.int32)] * 5  # 5 seqs, batch 4
+        full = list(make_batches(seqs, 4, max_len=8, drop_last=False))
+        assert len(full) == 2
+        tail = full[1]
+        assert tail["input_ids"].shape == (4, 16)
+        assert tail["attention_mask"][0].sum() == 5   # one real row
+        assert tail["attention_mask"][1:].sum() == 0  # padded rows masked out
+        dropped = list(make_batches(seqs, 4, max_len=8))
+        assert len(dropped) == 1
+
+    def test_eval_runs_on_tiny_split(self):
+        # An eval split smaller than one batch must still produce tokens.
+        from llm_fp8_tpu.training import TrainConfig, Trainer
+        from llm_fp8_tpu.training.data import make_batches
+        from llm_fp8_tpu.models import get_config, init_params
+
+        cfg = get_config("debug-tiny")
+        trainer = Trainer(cfg, TrainConfig(total_steps=2, recipes="bf16"),
+                          attn_impl="ref")
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        seqs = [np.arange(1, 9, dtype=np.int32)] * 3  # 3 seqs < batch 8
+        ev = trainer.evaluate(
+            params, make_batches(seqs, 8, max_len=16, drop_last=False)
+        )
+        assert ev["eval_tokens"] > 0
+        assert np.isfinite(ev["eval_loss"])
