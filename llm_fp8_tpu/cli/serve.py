@@ -69,13 +69,11 @@ def main(argv=None):
     dtype = jnp.bfloat16
     if args.random_init or args.weights_path is None:
         params = entry.init_fn(cfg, jax.random.PRNGKey(0), dtype=dtype)
-    elif args.model_name in MODEL_REGISTRY:
-        params = load_hf_checkpoint(args.weights_path, cfg, dtype=dtype)
     else:
-        raise SystemExit(
-            f"--weights_path is currently supported for the Llama/Qwen "
-            f"family; use the family pack_* loaders for {args.model_name}"
-        )
+        from llm_fp8_tpu.models import load_zoo_checkpoint
+
+        params = load_zoo_checkpoint(args.model_name, args.weights_path,
+                                     dtype=dtype)
     if args.precision == "fp8":
         params = entry.quantize_fn(params, recipe_set_by_name(args.fp8_scenario))
     elif args.precision == "int8":

@@ -166,13 +166,11 @@ def main(argv=None):
     # --- model + mesh ---
     if args.random_init or args.weights_path is None:
         params = entry.init_fn(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
-    elif is_llama_family:
-        params = load_hf_checkpoint(args.weights_path, cfg, dtype=jnp.float32)
     else:
-        raise SystemExit(
-            f"--weights_path is currently supported for the Llama/Qwen "
-            f"family; use the family pack_* loaders for {args.model_name}"
-        )
+        from llm_fp8_tpu.models import load_zoo_checkpoint
+
+        params = load_zoo_checkpoint(args.model_name, args.weights_path,
+                                     dtype=jnp.float32)
     mesh = make_mesh(
         MeshConfig(dp=args.dp, fsdp=args.fsdp, cp=args.cp, ep=args.ep,
                    tp=args.tp)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from llm_fp8_tpu.quant import RecipeSet, quantize
 
 __all__ = ["ZooEntry", "resolve_model", "zoo_model_names",
-           "quantize_zoo_params"]
+           "quantize_zoo_params", "load_zoo_checkpoint"]
 
 
 class ZooEntry(NamedTuple):
@@ -114,3 +114,57 @@ def zoo_model_names() -> list:
     from llm_fp8_tpu.models.moe import MOE_REGISTRY
 
     return [*MODEL_REGISTRY, *GPT2_REGISTRY, *NEOX_REGISTRY, *MOE_REGISTRY]
+
+
+def load_zoo_checkpoint(name: str, path: str, dtype=jnp.bfloat16):
+    """Unified HF-checkpoint ingestion for any zoo decoder by name.
+
+    The reference reaches every architecture through one
+    ``from_pretrained``-style remap entry point
+    (``flash_attn/models/gpt.py`` + per-family ``remap_state_dict_hf_*``);
+    this is that entry point: read the safetensors directory, pick the
+    family's pack function, return stacked params.
+    """
+    from llm_fp8_tpu.models.hf_loader import _load_all
+
+    entry = resolve_model(name)
+    sd = _load_all(path)
+    return _pack_fn_for(name)(sd, entry.cfg, dtype)
+
+
+def _pack_fn_for(name: str):
+    from llm_fp8_tpu.models.config import MODEL_REGISTRY
+
+    if name in MODEL_REGISTRY:
+        from llm_fp8_tpu.models.hf_loader import pack_hf_state_dict
+
+        return pack_hf_state_dict
+
+    from llm_fp8_tpu.models.moe import MOE_REGISTRY, pack_mixtral_state_dict
+
+    if name in MOE_REGISTRY:
+        return pack_mixtral_state_dict
+
+    # GPT-2/NeoX families: flavor is encoded in the registry name.
+    from llm_fp8_tpu.models import gpt2, neox
+
+    by_prefix = [
+        ("gpt2", gpt2.pack_gpt2_state_dict),
+        ("opt-", gpt2.pack_opt_state_dict),
+        ("santacoder", gpt2.pack_bigcode_state_dict),
+        ("btlm", gpt2.pack_btlm_state_dict),
+        ("pythia", neox.pack_neox_state_dict),
+        ("debug-neox", neox.pack_neox_state_dict),
+        ("falcon", neox.pack_falcon_state_dict),
+        ("debug-falcon", neox.pack_falcon_state_dict),
+        ("gptj", neox.pack_gptj_state_dict),
+        ("debug-gptj", neox.pack_gptj_state_dict),
+        ("debug-gpt2", gpt2.pack_gpt2_state_dict),
+        ("debug-opt", gpt2.pack_opt_state_dict),
+        ("debug-santacoder", gpt2.pack_bigcode_state_dict),
+        ("debug-btlm", gpt2.pack_btlm_state_dict),
+    ]
+    for prefix, fn in by_prefix:
+        if name.startswith(prefix):
+            return fn
+    raise ValueError(f"no checkpoint packer known for {name!r}")

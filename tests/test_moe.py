@@ -414,3 +414,28 @@ class TestGroupedDispatch:
                           ((jnp.arange(T) + 1) % E)], axis=1)
         aux = load_balance_loss(probs, topi, E)
         np.testing.assert_allclose(float(aux), float(K), rtol=1e-6)
+
+
+class TestZooCheckpointLoader:
+    def test_load_zoo_checkpoint_mixtral_from_disk(self, tmp_path):
+        # save_pretrained → load_zoo_checkpoint → logits parity: the unified
+        # disk path (safetensors read + family pack dispatch).
+        from llm_fp8_tpu.models import load_zoo_checkpoint
+
+        model, _ = hf_mixtral_and_state(CFG_FULL, seed=9)
+        model.save_pretrained(tmp_path / "ckpt", safe_serialization=True)
+        params = load_zoo_checkpoint("debug-mixtral", str(tmp_path / "ckpt"),
+                                     dtype=jnp.float32)
+        tokens = (np.arange(12, dtype=np.int32).reshape(1, 12) * 13
+                  ) % CFG_FULL.vocab_size
+        want = hf_logits(model, tokens)
+        got, _ = moe_forward(params, jnp.asarray(tokens), CFG_FULL,
+                             compute_dtype=jnp.float32, attn_impl="ref")
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                   atol=2e-4)
+
+    def test_unknown_name_raises(self):
+        from llm_fp8_tpu.models import load_zoo_checkpoint
+
+        with pytest.raises(ValueError):
+            load_zoo_checkpoint("not-a-model", "/nonexistent")
