@@ -250,7 +250,7 @@ def main(argv=None):
     logger.log_summary(report)
     logger.close()
     os.makedirs(args.output_dir, exist_ok=True)
-    if is_llama_family:
+    if is_llama_family or hasattr(cfg, "num_experts"):
         export_hf(jax.device_get(state.params), cfg, args.output_dir)
     else:
         # Zoo families: save the raw param pytree (HF-layout export is

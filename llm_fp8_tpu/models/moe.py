@@ -45,7 +45,8 @@ from llm_fp8_tpu.ops.attention import attention
 
 __all__ = [
     "MoEConfig", "MOE_REGISTRY", "init_moe_params", "moe_forward",
-    "pack_mixtral_state_dict", "quantize_moe_params", "load_balance_loss",
+    "pack_mixtral_state_dict", "export_mixtral_state_dict",
+    "quantize_moe_params", "load_balance_loss",
 ]
 
 
@@ -470,3 +471,42 @@ def moe_forward(
     if return_router_aux:
         return logits, new_cache, jnp.mean(auxes)
     return logits, new_cache
+
+
+def export_mixtral_state_dict(params: Dict[str, Any],
+                              cfg: MoEConfig) -> Dict[str, Any]:
+    """Inverse remap: stacked MoE params → HF Mixtral names.
+
+    Mirror of :func:`pack_mixtral_state_dict` (the ``ModelSaver``-side of
+    the round trip); quantized leaves must be dequantized by the caller.
+    """
+    import numpy as np
+
+    lp = params["layers"]
+    out: Dict[str, Any] = {}
+
+    def put(name, arr):
+        out[name] = np.asarray(jax.device_get(arr.astype(jnp.float32)))
+
+    put("model.embed_tokens.weight", params["embed"])
+    put("model.norm.weight", params["final_norm"])
+    if "lm_head" in params:
+        put("lm_head.weight", params["lm_head"].T)
+    qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        wqkv = lp["wqkv"][i]
+        put(p + "self_attn.q_proj.weight", wqkv[:, :qd].T)
+        put(p + "self_attn.k_proj.weight", wqkv[:, qd : qd + kvd].T)
+        put(p + "self_attn.v_proj.weight", wqkv[:, qd + kvd :].T)
+        put(p + "self_attn.o_proj.weight", lp["wo"][i].T)
+        put(p + "block_sparse_moe.gate.weight", lp["w_router"][i].T)
+        for e in range(cfg.num_experts):
+            ep = p + f"block_sparse_moe.experts.{e}."
+            gu = lp["w_gate_up"][i, e]
+            put(ep + "w1.weight", gu[:, :I].T)
+            put(ep + "w3.weight", gu[:, I:].T)
+            put(ep + "w2.weight", lp["w_down"][i, e].T)
+        put(p + "input_layernorm.weight", lp["norm_attn"][i])
+        put(p + "post_attention_layernorm.weight", lp["norm_mlp"][i])
+    return out

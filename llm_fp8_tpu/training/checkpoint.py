@@ -102,7 +102,13 @@ def export_hf(params: Dict[str, Any], cfg, out_dir: str, *, dequantize=True):
         return tree
 
     os.makedirs(out_dir, exist_ok=True)
-    sd = export_hf_state_dict(deq(params), cfg)
+    is_moe = hasattr(cfg, "num_experts")
+    if is_moe:
+        from llm_fp8_tpu.models.moe import export_mixtral_state_dict
+
+        sd = export_mixtral_state_dict(deq(params), cfg)
+    else:
+        sd = export_hf_state_dict(deq(params), cfg)
     save_file(
         {k: np.ascontiguousarray(v) for k, v in sd.items()},
         os.path.join(out_dir, "model.safetensors"),
@@ -110,7 +116,9 @@ def export_hf(params: Dict[str, Any], cfg, out_dir: str, *, dequantize=True):
     # Derive model_type from the architectural features so transformers
     # reloads with the right class: qk_norm -> Qwen3, qkv_bias -> Qwen2
     # (a Llama reload would silently drop q/k/v biases and QK-norm weights).
-    if cfg.qk_norm:
+    if is_moe:
+        model_type, arch = "mixtral", "MixtralForCausalLM"
+    elif cfg.qk_norm:
         model_type, arch = "qwen3", "Qwen3ForCausalLM"
     elif cfg.qkv_bias:
         model_type, arch = "qwen2", "Qwen2ForCausalLM"
@@ -131,6 +139,10 @@ def export_hf(params: Dict[str, Any], cfg, out_dir: str, *, dequantize=True):
         "tie_word_embeddings": cfg.tie_word_embeddings,
         "max_position_embeddings": cfg.max_position_embeddings,
     }
+    if is_moe:
+        hf_cfg["num_local_experts"] = cfg.num_experts
+        hf_cfg["num_experts_per_tok"] = cfg.num_experts_per_tok
+        hf_cfg["sliding_window"] = None
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(hf_cfg, f, indent=2)
     return out_dir

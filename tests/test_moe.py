@@ -439,3 +439,26 @@ class TestZooCheckpointLoader:
 
         with pytest.raises(ValueError):
             load_zoo_checkpoint("not-a-model", "/nonexistent")
+
+
+class TestExportHF:
+    def test_export_reloads_in_transformers(self, tmp_path):
+        # params → export_hf → MixtralForCausalLM.from_pretrained →
+        # logit parity: the ModelSaver round trip for the MoE family.
+        import torch
+        from transformers import MixtralForCausalLM
+        from llm_fp8_tpu.training.checkpoint import export_hf
+
+        params = init_moe_params(CFG_FULL, jax.random.PRNGKey(11),
+                                 dtype=jnp.float32)
+        out = export_hf(params, CFG_FULL, str(tmp_path / "hf"))
+        model = MixtralForCausalLM.from_pretrained(out)
+        model.eval()
+
+        tokens = (np.arange(10, dtype=np.int32).reshape(1, 10) * 17
+                  ) % CFG_FULL.vocab_size
+        want, _ = moe_forward(params, jnp.asarray(tokens), CFG_FULL,
+                              compute_dtype=jnp.float32, attn_impl="ref")
+        got = hf_logits(model, tokens)
+        np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4,
+                                   atol=2e-4)
