@@ -14,6 +14,7 @@ import pytest
 from llm_fp8_tpu.models import init_kv_cache
 from llm_fp8_tpu.models.gpt2 import GPT2_REGISTRY, init_gpt2_params, gpt2_forward
 from llm_fp8_tpu.models.neox import NEOX_REGISTRY, init_neox_params, neox_forward
+from llm_fp8_tpu.models.moe import MOE_REGISTRY, init_moe_params, moe_forward
 
 B, PREFILL, TOTAL, ARENA = 2, 9, 13, 32
 
@@ -26,6 +27,7 @@ FAMILIES = {
     "debug-neox-seq": (NEOX_REGISTRY, init_neox_params, neox_forward),
     "debug-falcon": (NEOX_REGISTRY, init_neox_params, neox_forward),  # MQA
     "debug-gptj": (NEOX_REGISTRY, init_neox_params, neox_forward),
+    "debug-mixtral": (MOE_REGISTRY, init_moe_params, moe_forward),  # MoE
 }
 
 
@@ -40,6 +42,8 @@ def test_decode_matches_full_forward(name):
 
     full = fwd(params, tokens, cfg, attn_impl="ref",
                compute_dtype=jnp.float32)
+    # The MoE family returns (logits, cache) even cache-less.
+    full = full[0] if isinstance(full, tuple) else full
 
     cache = init_kv_cache(cfg, B, ARENA, dtype=jnp.float32)
     lens = jnp.full((B,), PREFILL, jnp.int32)
