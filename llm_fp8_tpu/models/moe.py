@@ -208,10 +208,18 @@ def quantize_moe_params(params: Dict[str, Any], recipes: RecipeSet):
         if recipe is None:
             return
         wv = layers[name]
-        layers[name] = quantize(
-            wv.astype(jnp.float32), recipe.fmt_fwd, axes=(contract_axis,),
-            margin=recipe.margin,
-        )
+        if recipe.granularity == "block32":
+            from llm_fp8_tpu.quant import quantize_mx
+
+            layers[name] = quantize_mx(
+                wv.astype(jnp.float32), recipe.fmt_fwd,
+                block_axis=contract_axis,
+            )
+        else:
+            layers[name] = quantize(
+                wv.astype(jnp.float32), recipe.fmt_fwd,
+                axes=(contract_axis,), margin=recipe.margin,
+            )
 
     q("wqkv", "attn_qkv", 1)
     q("wo", "attn_out", 1)
@@ -239,6 +247,13 @@ def _edot(x: jax.Array, w, pattern: str) -> jax.Array:
     2-D ``qdot`` uses, batched over E.
     """
     if isinstance(w, QTensor):
+        if w.block_size is not None:
+            # MX block scales vary along the contraction — not
+            # post-applicable; dequantize and let XLA fuse the
+            # expand+multiply into the einsum's operand read.
+            return jnp.einsum(pattern, x, w.dequantize(x.dtype),
+                              preferred_element_type=jnp.float32
+                              ).astype(x.dtype)
         y = jnp.einsum(pattern, x, w.qvalue.astype(x.dtype),
                        preferred_element_type=jnp.float32)
         # scale [E, 1, F] broadcasts over [E, C, F].

@@ -202,7 +202,7 @@ class TestQuantized:
         tokens = jnp.arange(12, dtype=jnp.int32).reshape(2, 6)
         ref, _ = moe_forward(params, tokens, CFG_FULL,
                              compute_dtype=jnp.float32, attn_impl="ref")
-        for name in ("int8", "default"):
+        for name in ("int8", "default", "mxfp8"):
             qp = quantize_moe_params(params, recipe_set_by_name(name))
             got, _ = moe_forward(qp, tokens, CFG_FULL,
                                  compute_dtype=jnp.float32, attn_impl="ref")
@@ -210,6 +210,10 @@ class TestQuantized:
             scale = np.max(np.abs(np.asarray(ref))) + 1e-6
             assert err / scale < (0.05 if name == "int8" else 0.15), (
                 name, err, scale)
+            if name == "mxfp8":
+                # Block recipe must actually produce block-scaled experts.
+                gu = qp["layers"]["w_gate_up"]
+                assert getattr(gu, "block_size", None) == 32
 
     def test_resolver_finds_moe(self):
         from llm_fp8_tpu.models import resolve_model
