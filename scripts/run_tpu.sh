@@ -57,9 +57,20 @@ case "$MODE" in
       --synthetic_samples 100 --mixed_precision fp8 --fp8_scenario default \
       --batch_size 4 --max_seq_length 128 --num_epochs 1 \
       --num_warmup_steps 5 "$@" ;;
+  train-mixtral-debug)
+    # MoE family (beyond-ref): routed experts + load-balance aux loss;
+    # scale expert parallelism with --ep N on a multi-chip mesh.
+    python -m llm_fp8_tpu.cli.train --model_name debug-mixtral --random_init \
+      --synthetic_samples 100 --mixed_precision bf16 \
+      --batch_size 4 --max_seq_length 128 --num_epochs 1 \
+      --num_warmup_steps 5 "$@" ;;
   serve-1b-fp8)
     python -m llm_fp8_tpu.cli.serve --model_name llama-3.2-1b \
       --precision fp8 --kv_dtype fp8 "$@" ;;
+  serve-mixtral-debug)
+    python -m llm_fp8_tpu.cli.serve --model_name debug-mixtral --random_init \
+      --precision int8 --num_requests 4 --prompt_len 16 --max_new_tokens 8 \
+      --max_slots 2 --max_seq_len 128 "$@" ;;
   serve-debug)
     python -m llm_fp8_tpu.cli.serve --model_name debug-tiny --random_init \
       --precision fp8 --num_requests 4 --prompt_len 16 --max_new_tokens 8 \
