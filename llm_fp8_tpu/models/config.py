@@ -35,6 +35,10 @@ class ModelConfig:
     # with ALiBi slopes; both sizes store QKV as one fused W_pack tensor.
     alibi: bool = False
     fused_wpack: bool = False
+    # Mistral: sliding-window attention (the kernels' ``window_size`` lever,
+    # reference ``flash_attn_interface.py`` window_size=(W-1, 0)); None =
+    # full causal.
+    sliding_window: Optional[int] = None
 
     @property
     def q_dim(self) -> int:
@@ -162,6 +166,23 @@ MODEL_REGISTRY = {
         max_position_embeddings=4096,
     ),
 }
+
+MODEL_REGISTRY.update({
+    # Mistral-7B-v0.1 (HF config.json): Llama skeleton + 4096-token sliding
+    # window — exercises the kernels' window lever at the model level.
+    "mistral-7b": ModelConfig(
+        name="mistral-7b", vocab_size=32000, hidden_size=4096,
+        intermediate_size=14336, num_layers=32, num_heads=32,
+        num_kv_heads=8, head_dim=128, rope_theta=10000.0, rms_eps=1e-5,
+        max_position_embeddings=32768, sliding_window=4096,
+    ),
+    "debug-mistral": ModelConfig(
+        name="debug-mistral", vocab_size=512, hidden_size=128,
+        intermediate_size=256, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=32, rope_theta=10000.0, rms_eps=1e-5,
+        max_position_embeddings=2048, sliding_window=6,
+    ),
+})
 
 # Short aliases
 MODEL_REGISTRY.update({

@@ -297,6 +297,7 @@ def cache_append_attend(
     attn_impl: str = "auto",
     scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
+    window: Optional[int] = None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Append new K/V into the carried cache arena at each sequence's
     ``start_pos`` (quantizing when the arena is FP8) and attend over the
@@ -365,7 +366,7 @@ def cache_append_attend(
     attn = attention(
         q, k_all, v_all, causal=True, q_offset=start_pos,
         kv_lens=kv_lens, impl=attn_impl, scale=scale,
-        alibi_slopes=alibi_slopes,
+        alibi_slopes=alibi_slopes, window=window,
     )
     return attn, (k_cache, v_cache)
 
@@ -426,7 +427,7 @@ def _layer_body(
     if cache_kv is None:
         attn = attention(
             q, kk, vv, causal=True, kv_lens=kv_lens, impl=attn_impl,
-            alibi_slopes=slopes,
+            alibi_slopes=slopes, window=cfg.sliding_window,
             dropout_p=dropout_p, dropout_seed=dropout_seed,
             cp_axis=cp_axis, cp_mesh=cp_mesh,
         )
@@ -439,6 +440,7 @@ def _layer_body(
         attn, new_kv = cache_append_attend(
             q, kk, vv, cache_kv, start_pos, kv_lens,
             attn_impl=attn_impl, alibi_slopes=slopes,
+            window=cfg.sliding_window,
         )
 
     # Tag for the 'dots' remat policy: the flash kernel's output is not a
@@ -691,7 +693,7 @@ def forward_paged(
 
         attn = paged_attention(
             q[:, 0], kp, vp, lens + 1, page_tables, l, kv_scale=kv_scale,
-            alibi_slopes=slopes,
+            alibi_slopes=slopes, window=cfg.sliding_window,
         )
         x = x + _dot(attn.reshape(B, 1, Hq * Dh), lp["wo"])
 

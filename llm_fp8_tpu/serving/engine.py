@@ -286,6 +286,7 @@ class Engine:
         logits, ka, va = forward_decode_arena(
             params, last_tokens[:, None], self.cfg, ka, va, lens,
             kv_scale=(kscales, vscales),
+            window=self.cfg.sliding_window,
         )
         logits = logits[:, 0]
         return logits, jnp.argmax(logits, -1).astype(jnp.int32), ka, va

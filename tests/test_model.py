@@ -290,3 +290,86 @@ class TestQwen3:
         np.testing.assert_allclose(np.asarray(step[:, 0]),
                                    np.asarray(full[:, 8]),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestMistral:
+    """Mistral = Llama skeleton + sliding-window attention (the kernels'
+    window lever surfaced as a model config)."""
+
+    def _cfg(self):
+        return get_config("debug-mistral")
+
+    def test_hf_logits_parity_window_active(self):
+        import torch
+        from transformers import MistralConfig, MistralForCausalLM
+
+        cfg = self._cfg()
+        assert cfg.sliding_window == 6
+        torch.manual_seed(0)
+        hf_cfg = MistralConfig(
+            vocab_size=cfg.vocab_size,
+            hidden_size=cfg.hidden_size,
+            intermediate_size=cfg.intermediate_size,
+            num_hidden_layers=cfg.num_layers,
+            num_attention_heads=cfg.num_heads,
+            num_key_value_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim,
+            rope_theta=cfg.rope_theta,
+            rms_norm_eps=cfg.rms_eps,
+            max_position_embeddings=cfg.max_position_embeddings,
+            tie_word_embeddings=cfg.tie_word_embeddings,
+            sliding_window=cfg.sliding_window,
+            attention_dropout=0.0,
+        )
+        model = MistralForCausalLM(hf_cfg)
+        model.eval()
+        sd = {k: jnp.asarray(v.numpy()) for k, v in model.state_dict().items()}
+        params = pack_hf_state_dict(sd, cfg, dtype=jnp.float32)
+        # seq 16 > window 6: the window genuinely masks here.
+        tokens = np.arange(16, dtype=np.int32)[None, :] * 3 % cfg.vocab_size
+        import torch as _t
+
+        with _t.no_grad():
+            want = model(_t.from_numpy(tokens)).logits.float().numpy()
+        got, _ = forward(params, jnp.asarray(tokens), cfg,
+                         compute_dtype=jnp.float32, attn_impl="ref")
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                   atol=2e-4)
+        # Sanity: the window changes the result vs full-causal.
+        import dataclasses as dc
+
+        full, _ = forward(params, jnp.asarray(tokens),
+                          dc.replace(cfg, sliding_window=None),
+                          compute_dtype=jnp.float32, attn_impl="ref")
+        assert np.abs(np.asarray(got) - np.asarray(full)).max() > 1e-3
+
+    def test_kv_decode_matches_full(self):
+        from llm_fp8_tpu.models import init_kv_cache
+
+        cfg = self._cfg()
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        B, S = 2, 12
+        tokens = jnp.asarray(
+            (np.arange(B * S).reshape(B, S) * 7) % cfg.vocab_size, jnp.int32
+        )
+        full, _ = forward(params, tokens, cfg, compute_dtype=jnp.float32,
+                          attn_impl="ref")
+        cache = init_kv_cache(cfg, B, 16, dtype=jnp.float32)
+        logits, cache = forward(
+            params, tokens[:, :8], cfg, cache=cache, start_pos=0,
+            kv_lens=jnp.full((B,), 8, jnp.int32),
+            compute_dtype=jnp.float32, attn_impl="ref",
+        )
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(full[:, :8]),
+                                   rtol=1e-4, atol=1e-4)
+        for t in range(8, S):
+            lens = jnp.full((B,), t, jnp.int32)
+            step, cache = forward(
+                params, tokens[:, t:t + 1], cfg, cache=cache,
+                start_pos=lens, kv_lens=lens + 1,
+                compute_dtype=jnp.float32, attn_impl="ref",
+            )
+            np.testing.assert_allclose(np.asarray(step[:, 0]),
+                                       np.asarray(full[:, t]),
+                                       rtol=5e-4, atol=5e-4)
