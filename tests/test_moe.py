@@ -466,3 +466,32 @@ class TestExportHF:
         got = hf_logits(model, tokens)
         np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4,
                                    atol=2e-4)
+
+
+class TestMoEServingSharded:
+    def test_ep_sharded_engine_matches_single_device(self):
+        # Expert-parallel serving: the shared Engine with the MoE forward on
+        # an ep×fsdp×tp mesh must emit the same tokens as the single-device
+        # engine (the sharded-vs-unsharded idiom at the serving level).
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device mesh (CPU run)")
+        from llm_fp8_tpu.parallel import MeshConfig, make_mesh, shard_params
+        from llm_fp8_tpu.serving import Engine, EngineConfig, SamplingParams
+
+        params = init_moe_params(CFG_FULL, jax.random.PRNGKey(21),
+                                 dtype=jnp.float32)
+        prompt = np.arange(1, 11, dtype=np.int32)
+        ecfg = EngineConfig(max_slots=2, max_seq_len=64,
+                            kv_dtype=jnp.float32, prefill_buckets=(16,),
+                            attn_impl="ref")
+
+        eng1 = Engine(params, CFG_FULL, ecfg, forward_fn=moe_forward)
+        want = eng1.add_request(prompt, SamplingParams(max_new_tokens=6))
+        eng1.run()
+
+        mesh = make_mesh(MeshConfig(dp=1, fsdp=2, ep=2, tp=2))
+        eng2 = Engine(shard_params(params, mesh), CFG_FULL, ecfg,
+                      mesh=mesh, forward_fn=moe_forward)
+        got = eng2.add_request(prompt, SamplingParams(max_new_tokens=6))
+        eng2.run()
+        assert got.output == want.output
