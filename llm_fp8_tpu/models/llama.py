@@ -298,6 +298,7 @@ def cache_append_attend(
     scale: Optional[float] = None,
     alibi_slopes: Optional[jax.Array] = None,
     window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Append new K/V into the carried cache arena at each sequence's
     ``start_pos`` (quantizing when the arena is FP8) and attend over the
@@ -366,7 +367,7 @@ def cache_append_attend(
     attn = attention(
         q, k_all, v_all, causal=True, q_offset=start_pos,
         kv_lens=kv_lens, impl=attn_impl, scale=scale,
-        alibi_slopes=alibi_slopes, window=window,
+        alibi_slopes=alibi_slopes, window=window, softcap=softcap,
     )
     return attn, (k_cache, v_cache)
 

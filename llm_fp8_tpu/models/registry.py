@@ -102,6 +102,18 @@ def resolve_model(name: str) -> ZooEntry:
         return ZooEntry(MOE_REGISTRY[name], init_moe_params, moe_forward,
                         quantize_moe_params)
 
+    from llm_fp8_tpu.models.gemma import (
+        GEMMA_REGISTRY, init_gemma_params, gemma_forward,
+    )
+
+    if name in GEMMA_REGISTRY:
+        # Same GEMM-site leaf names as the Llama family → its scale-baking
+        # pass applies unchanged.
+        from llm_fp8_tpu.models.llama import quantize_params
+
+        return ZooEntry(GEMMA_REGISTRY[name], init_gemma_params,
+                        gemma_forward, quantize_params)
+
     raise ValueError(
         f"unknown model {name!r}; known: {sorted(zoo_model_names())}"
     )
@@ -109,11 +121,13 @@ def resolve_model(name: str) -> ZooEntry:
 
 def zoo_model_names() -> list:
     from llm_fp8_tpu.models.config import MODEL_REGISTRY
+    from llm_fp8_tpu.models.gemma import GEMMA_REGISTRY
     from llm_fp8_tpu.models.gpt2 import GPT2_REGISTRY
     from llm_fp8_tpu.models.neox import NEOX_REGISTRY
     from llm_fp8_tpu.models.moe import MOE_REGISTRY
 
-    return [*MODEL_REGISTRY, *GPT2_REGISTRY, *NEOX_REGISTRY, *MOE_REGISTRY]
+    return [*MODEL_REGISTRY, *GPT2_REGISTRY, *NEOX_REGISTRY, *MOE_REGISTRY,
+            *GEMMA_REGISTRY]
 
 
 def load_zoo_checkpoint(name: str, path: str, dtype=jnp.bfloat16):
@@ -144,6 +158,13 @@ def _pack_fn_for(name: str):
 
     if name in MOE_REGISTRY:
         return pack_mixtral_state_dict
+
+    from llm_fp8_tpu.models.gemma import (
+        GEMMA_REGISTRY, pack_gemma2_state_dict,
+    )
+
+    if name in GEMMA_REGISTRY:
+        return pack_gemma2_state_dict
 
     # GPT-2/NeoX families: flavor is encoded in the registry name.
     from llm_fp8_tpu.models import gpt2, neox
