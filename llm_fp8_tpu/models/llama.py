@@ -231,11 +231,18 @@ def init_kv_cache(
     *,
     dtype=jnp.bfloat16,
 ) -> KVCache:
+    """Zeroed cache arena for ``cfg``. Families whose K and V stores differ
+    in shape (the MLA latent cache: K = compressed kv, V = rope part) override
+    ``cfg.kv_cache_dims() -> (Hk, Dk, Dv)``; the default is the symmetric
+    per-head layout."""
     L = cfg.num_layers
-    shape = (L, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    dims = getattr(cfg, "kv_cache_dims", None)
+    Hk, Dk, Dv = dims() if dims else (
+        cfg.num_kv_heads, cfg.head_dim, cfg.head_dim
+    )
     return KVCache(
-        k=jnp.zeros(shape, dtype),
-        v=jnp.zeros(shape, dtype),
+        k=jnp.zeros((L, batch, max_len, Hk, Dk), dtype),
+        v=jnp.zeros((L, batch, max_len, Hk, Dv), dtype),
         lens=jnp.zeros((batch,), jnp.int32),
         k_scale=jnp.ones((L,), jnp.float32),
         v_scale=jnp.ones((L,), jnp.float32),

@@ -46,7 +46,7 @@ from llm_fp8_tpu.ops.attention import attention
 __all__ = [
     "MoEConfig", "MOE_REGISTRY", "init_moe_params", "moe_forward",
     "pack_mixtral_state_dict", "export_mixtral_state_dict",
-    "quantize_moe_params", "load_balance_loss",
+    "quantize_moe_params", "load_balance_loss", "dispatch_experts",
 ]
 
 
@@ -286,38 +286,37 @@ def load_balance_loss(probs: jax.Array, topi: jax.Array, num_experts: int,
     return num_experts * jnp.sum(f * p[None, :])
 
 
-def _moe_mlp(
+def dispatch_experts(
     h: jax.Array,                 # [T, D] (post-norm tokens)
-    w_router: jax.Array,          # [D, E]
+    topi: jax.Array,              # [T, K] selected expert indices
+    topv: jax.Array,              # [T, K] combine weights (fp32)
     w_gate_up,                    # [E, D, 2I] (array or QTensor)
     w_down,                       # [E, I, D]
-    cfg: MoEConfig,
+    num_experts: int,
     *,
+    moe_group_size: int = 512,
+    capacity_factor: float = 2.0,
     token_mask: Optional[jax.Array] = None,  # [T] 1=real, 0=padding
     lossless: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Routed SwiGLU experts via grouped one-hot dispatch.
+) -> jax.Array:
+    """Routed SwiGLU experts via grouped one-hot dispatch — the
+    router-agnostic half of the MoE block (Mixtral renormalized softmax and
+    DeepSeek's scaled/group-limited gate both feed this).
 
-    Tokens are routed within groups of ``cfg.moe_group_size`` (GShard's
+    Tokens are routed within groups of ``moe_group_size`` (GShard's
     fixed-size groups): the dispatch/combine tensors are ``[G, g, E, C]``
     with per-group capacity C, so memory and dispatch-einsum FLOPs scale
     linearly with sequence length. ``lossless=True`` (the serving path)
     sets C = g — no assignment is ever dropped. Padding tokens
-    (``token_mask`` 0) neither claim capacity nor enter the aux statistics.
+    (``token_mask`` 0) neither claim capacity nor enter the statistics.
 
-    Returns ``(y [T, D], aux)``.
+    Returns ``y [T, D]``.
     """
     T, D = h.shape
-    E, K = cfg.num_experts, cfg.num_experts_per_tok
-
-    logits = jnp.dot(h.astype(jnp.float32), w_router.astype(jnp.float32))
-    probs = jax.nn.softmax(logits, axis=-1)            # [T, E] fp32
-    topv, topi = jax.lax.top_k(probs, K)               # [T, K]
-    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
-    aux = load_balance_loss(probs, topi, E, token_mask)
+    E, K = num_experts, topi.shape[-1]
 
     # Group: pad T to a multiple of g with masked-out rows.
-    g = min(T, max(1, cfg.moe_group_size))
+    g = min(T, max(1, moe_group_size))
     Tp = -(-T // g) * g
     valid = (jnp.ones((T,), jnp.float32) if token_mask is None
              else token_mask.astype(jnp.float32))
@@ -327,11 +326,11 @@ def _moe_mlp(
         topv = jnp.pad(topv, ((0, Tp - T), (0, 0)))
         valid = jnp.pad(valid, (0, Tp - T))
     G = Tp // g
-    if lossless or cfg.capacity_factor <= 0:
+    if lossless or capacity_factor <= 0:
         C = g  # top_k picks are distinct → an expert sees ≤ g tokens/group
     else:
         per = -(-g * K // E)  # ceil
-        C = min(g, max(1, int(per * cfg.capacity_factor)))
+        C = min(g, max(1, int(per * capacity_factor)))
 
     # Masked selections never claim a capacity slot.
     sel = (jax.nn.one_hot(topi, E, dtype=jnp.int32)
@@ -366,7 +365,37 @@ def _moe_mlp(
     y = jnp.einsum("gtec,gecd->gtd", combine.astype(jnp.float32),
                    yg.astype(jnp.float32),
                    preferred_element_type=jnp.float32).astype(h.dtype)
-    return y.reshape(Tp, D)[:T], aux
+    return y.reshape(Tp, D)[:T]
+
+
+def _moe_mlp(
+    h: jax.Array,                 # [T, D] (post-norm tokens)
+    w_router: jax.Array,          # [D, E]
+    w_gate_up,                    # [E, D, 2I] (array or QTensor)
+    w_down,                       # [E, I, D]
+    cfg: MoEConfig,
+    *,
+    token_mask: Optional[jax.Array] = None,  # [T] 1=real, 0=padding
+    lossless: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Mixtral routing (full-softmax fp32, top-k, renormalize to sum 1 —
+    HF ``MixtralSparseMoeBlock``) over :func:`dispatch_experts`.
+
+    Returns ``(y [T, D], aux)``.
+    """
+    E, K = cfg.num_experts, cfg.num_experts_per_tok
+    logits = jnp.dot(h.astype(jnp.float32), w_router.astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)            # [T, E] fp32
+    topv, topi = jax.lax.top_k(probs, K)               # [T, K]
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    aux = load_balance_loss(probs, topi, E, token_mask)
+    y = dispatch_experts(
+        h, topi, topv, w_gate_up, w_down, E,
+        moe_group_size=cfg.moe_group_size,
+        capacity_factor=cfg.capacity_factor,
+        token_mask=token_mask, lossless=lossless,
+    )
+    return y, aux
 
 
 # --------------------------------------------------------------------------

@@ -102,6 +102,14 @@ def resolve_model(name: str) -> ZooEntry:
         return ZooEntry(MOE_REGISTRY[name], init_moe_params, moe_forward,
                         quantize_moe_params)
 
+    from llm_fp8_tpu.models.mla import (
+        MLA_REGISTRY, init_mla_params, mla_forward, quantize_mla_params,
+    )
+
+    if name in MLA_REGISTRY:
+        return ZooEntry(MLA_REGISTRY[name], init_mla_params, mla_forward,
+                        quantize_mla_params)
+
     from llm_fp8_tpu.models.gemma import (
         GEMMA_REGISTRY, init_gemma_params, gemma_forward,
     )
@@ -123,11 +131,12 @@ def zoo_model_names() -> list:
     from llm_fp8_tpu.models.config import MODEL_REGISTRY
     from llm_fp8_tpu.models.gemma import GEMMA_REGISTRY
     from llm_fp8_tpu.models.gpt2 import GPT2_REGISTRY
+    from llm_fp8_tpu.models.mla import MLA_REGISTRY
     from llm_fp8_tpu.models.neox import NEOX_REGISTRY
     from llm_fp8_tpu.models.moe import MOE_REGISTRY
 
     return [*MODEL_REGISTRY, *GPT2_REGISTRY, *NEOX_REGISTRY, *MOE_REGISTRY,
-            *GEMMA_REGISTRY]
+            *GEMMA_REGISTRY, *MLA_REGISTRY]
 
 
 def load_zoo_checkpoint(name: str, path: str, dtype=jnp.bfloat16):
@@ -158,6 +167,11 @@ def _pack_fn_for(name: str):
 
     if name in MOE_REGISTRY:
         return pack_mixtral_state_dict
+
+    from llm_fp8_tpu.models.mla import MLA_REGISTRY, pack_deepseek_state_dict
+
+    if name in MLA_REGISTRY:
+        return pack_deepseek_state_dict
 
     from llm_fp8_tpu.models.gemma import (
         GEMMA_REGISTRY, pack_gemma2_state_dict,
