@@ -71,6 +71,19 @@ _RULES: Dict[str, tuple] = {
     # inner GEMM dims. The router stays replicated: it is tiny and its
     # output decides routing for *every* token on every shard.
     "w_router": (None, None, None),
+    # MLA family (models/mla.py): low-rank q/kv projections. ``w_kv_a`` is
+    # row-parallel (contract D over tp) so the shared compressed latent
+    # lands replicated for its RMSNorm; the expansions (``wq``/``wq_b``/
+    # ``w_kv_b``) are column-parallel over the per-head output dim. The
+    # tiny q-LoRA down-projection keeps its rank axis replicated — its
+    # output feeds an RMSNorm whose reduction must not cross shards.
+    "wq": (None, AXIS_FSDP, AXIS_TP),
+    "wq_a": (None, AXIS_FSDP, None),
+    "wq_b": (None, AXIS_FSDP, AXIS_TP),
+    "w_kv_a": (None, AXIS_TP, AXIS_FSDP),
+    "w_kv_b": (None, AXIS_FSDP, AXIS_TP),
+    "w_shared_gate_up": (None, AXIS_FSDP, AXIS_TP),
+    "w_shared_down": (None, AXIS_TP, AXIS_FSDP),
 }
 
 #: Same leaf name, different rank: the MoE family's ``w_gate_up``/``w_down``

@@ -163,6 +163,52 @@ class TestLatentDecode:
         assert latent * 3 < expanded  # ≥3x compression even at debug scale
 
 
+class TestSharded:
+    """MLA sharded-vs-single-device parity (SURVEY.md §4 idiom) on the
+    virtual 8-device mesh: tp splits the per-head projections (wq/wq_b/
+    w_kv_b column-parallel, w_kv_a row-parallel), ep splits the DeepSeekMoE
+    expert stacks."""
+
+    @pytest.mark.parametrize(
+        "mesh_kw",
+        [dict(tp=4), dict(ep=2, tp=2), dict(dp=2, tp=2), dict(ep=4)],
+        ids=["tp4_fsdp2", "ep2tp2_fsdp2", "dp2tp2_fsdp2", "ep4_fsdp2"],
+    )
+    @pytest.mark.parametrize("name", ["debug-mla", "debug-mla-q"])
+    def test_sharded_matches_single_device(self, mesh_kw, name):
+        from jax.sharding import NamedSharding
+        from llm_fp8_tpu.parallel import (
+            MeshConfig, make_mesh, shard_params, batch_spec, param_specs,
+        )
+
+        cfg = MLA_REGISTRY[name]
+        params = init_mla_params(cfg, jax.random.PRNGKey(11),
+                                 dtype=jnp.float32)
+        tokens = jax.random.randint(jax.random.PRNGKey(12), (4, 16), 0,
+                                    cfg.vocab_size)
+        want, _ = mla_forward(params, tokens, cfg,
+                              compute_dtype=jnp.float32, attn_impl="ref")
+
+        mesh = make_mesh(MeshConfig(**mesh_kw))
+        specs = param_specs(params, mesh)
+        if mesh.shape["tp"] > 1:
+            assert "tp" in str(specs["moe_layers"]["w_kv_b"])
+        if 1 < mesh.shape["ep"] <= cfg.num_experts:
+            assert "ep" in str(specs["moe_layers"]["w_gate_up"])
+        sharded = shard_params(params, mesh)
+        tok = jax.device_put(tokens, NamedSharding(mesh, batch_spec()))
+
+        @jax.jit
+        def f(p, t):
+            logits, _ = mla_forward(p, t, cfg, compute_dtype=jnp.float32,
+                                    attn_impl="ref")
+            return logits
+
+        got = f(sharded, tok)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
 class TestIntegration:
     def test_resolver_and_quantization(self):
         from llm_fp8_tpu.models import resolve_model
