@@ -186,7 +186,7 @@ def gemma_forward(
     start_pos = jnp.broadcast_to(jnp.asarray(start_pos, jnp.int32), (B,))
     positions = start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
-    cos, sin = rope_cos_sin(positions, inv_freq)
+    cos, sin = rope_cos_sin(positions, inv_freq, cfg.rope_scaling)
     Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     scale = float(cfg.query_pre_attn_scalar) ** -0.5
     seed0 = jnp.asarray(dropout_seed, jnp.int32)

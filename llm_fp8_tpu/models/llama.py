@@ -514,7 +514,7 @@ def forward(
     start_pos = jnp.broadcast_to(jnp.asarray(start_pos, jnp.int32), (B,))
     positions = start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
-    cos, sin = rope_cos_sin(positions, inv_freq)  # [B, S, Dh/2]
+    cos, sin = rope_cos_sin(positions, inv_freq, cfg.rope_scaling)  # [B, S, Dh/2]
 
     lp_stack = params["layers"]
 
@@ -646,7 +646,7 @@ def forward_paged(
         positions = lens[:, None]
         inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta,
                                     cfg.rope_scaling)
-        cos, sin = rope_cos_sin(positions, inv_freq)
+        cos, sin = rope_cos_sin(positions, inv_freq, cfg.rope_scaling)
 
     page_ids = jnp.take_along_axis(
         page_tables, (lens // page_size)[:, None], axis=1
@@ -766,7 +766,7 @@ def forward_decode_arena(
         positions = lens[:, None]
         inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta,
                                     cfg.rope_scaling)
-        cos, sin = rope_cos_sin(positions, inv_freq)
+        cos, sin = rope_cos_sin(positions, inv_freq, cfg.rope_scaling)
 
     k_sc, v_sc = (kv_scale if isinstance(kv_scale, tuple)
                   else (kv_scale, kv_scale))
@@ -844,7 +844,7 @@ def forward_fp8_train(
     B, S = tokens.shape
     positions = jnp.arange(S, dtype=jnp.int32)[None, :]
     inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
-    cos, sin = rope_cos_sin(positions, inv_freq)
+    cos, sin = rope_cos_sin(positions, inv_freq, cfg.rope_scaling)
     zero = jnp.asarray(0, jnp.int32)
 
     def body(x, per_layer):

@@ -136,11 +136,19 @@ def _mla(name: str, **kw) -> MLAConfig:
     return MLAConfig(**base)
 
 
+# Both published DeepSeek-V2 checkpoints extend 4k → 160k context with the
+# same yarn dict (config.json ``rope_scaling``); mscale == mscale_all_dim
+# makes the cos/sin attention factor exactly 1.0 (HF convention).
+_DEEPSEEK_YARN = dict(
+    rope_type="yarn", factor=40.0, beta_fast=32, beta_slow=1,
+    mscale=0.707, mscale_all_dim=0.707,
+    original_max_position_embeddings=4096,
+)
+
 MLA_REGISTRY: Dict[str, MLAConfig] = {
     # deepseek-ai/DeepSeek-V2-Lite (config.json): 27 layers, 16 heads,
     # direct q_proj, greedy top-6 of 64 routed + 2 shared experts, first
-    # layer dense. (The published checkpoint uses yarn rope scaling for
-    # >4k contexts; this registry entry carries default rope.)
+    # layer dense.
     "deepseek-v2-lite": _mla(
         "deepseek-v2-lite", vocab_size=102400, hidden_size=2048,
         intermediate_size=10944, num_layers=27, num_heads=16,
@@ -149,7 +157,7 @@ MLA_REGISTRY: Dict[str, MLAConfig] = {
         num_experts=64, num_experts_per_tok=6, n_shared_experts=2,
         moe_intermediate_size=1408, first_k_dense_replace=1,
         routed_scaling_factor=1.0, topk_method="greedy",
-        max_position_embeddings=163840,
+        max_position_embeddings=163840, rope_scaling=_DEEPSEEK_YARN,
     ),
     # deepseek-ai/DeepSeek-V2: 60 layers, 128 heads, low-rank q (1536),
     # group-limited top-6 of 160 routed experts (best 3 of 8 groups),
@@ -163,6 +171,7 @@ MLA_REGISTRY: Dict[str, MLAConfig] = {
         moe_intermediate_size=1536, first_k_dense_replace=1,
         routed_scaling_factor=16.0, topk_method="group_limited_greedy",
         n_group=8, topk_group=3, max_position_embeddings=163840,
+        rope_scaling=_DEEPSEEK_YARN,
     ),
     "debug-mla": _mla(
         "debug-mla", vocab_size=512, hidden_size=128,
@@ -617,7 +626,7 @@ def mla_forward(
     inv_freq = rope_frequencies(
         cfg.qk_rope_head_dim, cfg.rope_theta, cfg.rope_scaling
     )
-    cos, sin = rope_cos_sin(positions, inv_freq)
+    cos, sin = rope_cos_sin(positions, inv_freq, cfg.rope_scaling)
 
     Kd = cfg.first_k_dense_replace
     flat_mask = None if token_mask is None else token_mask.reshape(B * S)

@@ -435,7 +435,7 @@ def moe_forward(
     start_pos = jnp.broadcast_to(jnp.asarray(start_pos, jnp.int32), (B,))
     positions = start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
-    cos, sin = rope_cos_sin(positions, inv_freq)
+    cos, sin = rope_cos_sin(positions, inv_freq, cfg.rope_scaling)
 
     lp_stack = params["layers"]
     Hq, Hk, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim

@@ -140,7 +140,7 @@ def forward_pipelined(
     x = jnp.take(params["embed"], tokens, axis=0).astype(compute_dtype)
     positions = jnp.arange(S, dtype=jnp.int32)[None, :]
     inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
-    cos, sin = rope_cos_sin(positions, inv_freq)  # [1, S, Dh/2]
+    cos, sin = rope_cos_sin(positions, inv_freq, cfg.rope_scaling)  # [1, S, Dh/2]
     zero = jnp.zeros((1,), jnp.int32)
 
     n_stages = mesh.shape[AXIS_PP]
