@@ -46,6 +46,7 @@ from llm_fp8_tpu.ops.attention import attention
 __all__ = [
     "MoEConfig", "MOE_REGISTRY", "init_moe_params", "moe_forward",
     "pack_mixtral_state_dict", "export_mixtral_state_dict",
+    "pack_qwen3_moe_state_dict", "export_qwen3_moe_state_dict",
     "quantize_moe_params", "load_balance_loss", "dispatch_experts",
 ]
 
@@ -70,6 +71,10 @@ class MoEConfig(ModelConfig):
     #: instead of the quadratic blowup of a single global group.
     moe_group_size: int = 512
     router_aux_coef: float = 0.02
+    #: Renormalize the top-k gate weights to sum to 1. Mixtral always does;
+    #: HF ``Qwen3MoeSparseMoeBlock`` guards it on ``norm_topk_prob`` ("only
+    #: diff with mixtral sparse moe block", modeling_qwen3_moe.py:235).
+    norm_topk_prob: bool = True
 
     def num_params(self) -> int:
         d, i, v = self.hidden_size, self.intermediate_size, self.vocab_size
@@ -98,6 +103,23 @@ MOE_REGISTRY: Dict[str, MoEConfig] = {
         head_dim=32, rope_theta=1e6, rms_eps=1e-5,
         max_position_embeddings=2048, num_experts=4, num_experts_per_tok=2,
     ),
+    # Qwen3-MoE (HF Qwen/Qwen3-30B-A3B config.json): Qwen3 attention
+    # (per-head QK-norm, no bias) + Mixtral-shape routed experts with
+    # norm_topk_prob. Every layer is sparse (decoder_sparse_step=1), so
+    # intermediate_size here is the expert width (moe_intermediate_size).
+    "qwen3-30b-a3b": MoEConfig(
+        name="qwen3-30b-a3b", vocab_size=151936, hidden_size=2048,
+        intermediate_size=768, num_layers=48, num_heads=32, num_kv_heads=4,
+        head_dim=128, rope_theta=1e6, rms_eps=1e-6, qk_norm=True,
+        max_position_embeddings=40960, num_experts=128,
+        num_experts_per_tok=8,
+    ),
+    "debug-qwen3moe": MoEConfig(
+        name="debug-qwen3moe", vocab_size=512, hidden_size=128,
+        intermediate_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+        head_dim=32, rope_theta=1e6, rms_eps=1e-6, qk_norm=True,
+        max_position_embeddings=2048, num_experts=4, num_experts_per_tok=2,
+    ),
 }
 
 
@@ -123,6 +145,9 @@ def init_moe_params(cfg: MoEConfig, key: jax.Array, dtype=jnp.bfloat16):
         "norm_attn": jnp.ones((L, D), dtype),
         "norm_mlp": jnp.ones((L, D), dtype),
     }
+    if cfg.qk_norm:  # Qwen3-MoE: per-head RMSNorm on q and k
+        layers["q_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((L, cfg.head_dim), dtype)
     params = {
         "embed": w(next(k), (V, D)),
         "layers": layers,
@@ -192,6 +217,101 @@ def pack_mixtral_state_dict(sd: Dict[str, jax.Array], cfg: MoEConfig,
     if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
         params["lm_head"] = linear("lm_head.weight")
     return params
+
+
+def pack_qwen3_moe_state_dict(sd: Dict[str, jax.Array], cfg: MoEConfig,
+                              dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """HF Qwen3-MoE state dict → stacked fused layout.
+
+    Same remap discipline as :func:`pack_mixtral_state_dict`; the naming
+    differences (HF ``modeling_qwen3_moe.py``): per-head ``q_norm``/
+    ``k_norm``, router at ``mlp.gate``, experts at
+    ``mlp.experts.N.{gate,up,down}_proj``.
+    """
+
+    def get(name):
+        if name not in sd:
+            raise KeyError(f"missing {name!r} in checkpoint")
+        return sd[name]
+
+    def linear(name):
+        return jnp.asarray(get(name)).astype(dtype).T
+
+    def vec(name):
+        return jnp.asarray(get(name)).astype(dtype)
+
+    L, E = cfg.num_layers, cfg.num_experts
+    acc: Dict[str, list] = {k: [] for k in (
+        "wqkv", "wo", "w_router", "w_gate_up", "w_down", "norm_attn",
+        "norm_mlp", "q_norm", "k_norm",
+    )}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        q = linear(p + "self_attn.q_proj.weight")
+        kk = linear(p + "self_attn.k_proj.weight")
+        v = linear(p + "self_attn.v_proj.weight")
+        acc["wqkv"].append(jnp.concatenate([q, kk, v], axis=1))
+        acc["wo"].append(linear(p + "self_attn.o_proj.weight"))
+        acc["q_norm"].append(vec(p + "self_attn.q_norm.weight"))
+        acc["k_norm"].append(vec(p + "self_attn.k_norm.weight"))
+        acc["w_router"].append(linear(p + "mlp.gate.weight"))
+        gu, dn = [], []
+        for e in range(E):
+            ep = p + f"mlp.experts.{e}."
+            gate = linear(ep + "gate_proj.weight")
+            up = linear(ep + "up_proj.weight")
+            gu.append(jnp.concatenate([gate, up], axis=1))
+            dn.append(linear(ep + "down_proj.weight"))
+        acc["w_gate_up"].append(jnp.stack(gu))
+        acc["w_down"].append(jnp.stack(dn))
+        acc["norm_attn"].append(vec(p + "input_layernorm.weight"))
+        acc["norm_mlp"].append(vec(p + "post_attention_layernorm.weight"))
+
+    params: Dict[str, Any] = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight")).astype(dtype),
+        "layers": {k: jnp.stack(v) for k, v in acc.items()},
+        "final_norm": jnp.asarray(get("model.norm.weight")).astype(dtype),
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = linear("lm_head.weight")
+    return params
+
+
+def export_qwen3_moe_state_dict(params: Dict[str, Any],
+                                cfg: MoEConfig) -> Dict[str, Any]:
+    """Inverse remap: stacked Qwen3-MoE params → HF names."""
+    import numpy as np
+
+    lp = params["layers"]
+    out: Dict[str, Any] = {}
+
+    def put(name, arr):
+        out[name] = np.asarray(jax.device_get(arr.astype(jnp.float32)))
+
+    put("model.embed_tokens.weight", params["embed"])
+    put("model.norm.weight", params["final_norm"])
+    if "lm_head" in params:
+        put("lm_head.weight", params["lm_head"].T)
+    qd, kvd, I = cfg.q_dim, cfg.kv_dim, cfg.intermediate_size
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        wqkv = lp["wqkv"][i]
+        put(p + "self_attn.q_proj.weight", wqkv[:, :qd].T)
+        put(p + "self_attn.k_proj.weight", wqkv[:, qd:qd + kvd].T)
+        put(p + "self_attn.v_proj.weight", wqkv[:, qd + kvd:].T)
+        put(p + "self_attn.o_proj.weight", lp["wo"][i].T)
+        put(p + "self_attn.q_norm.weight", lp["q_norm"][i])
+        put(p + "self_attn.k_norm.weight", lp["k_norm"][i])
+        put(p + "mlp.gate.weight", lp["w_router"][i].T)
+        for e in range(cfg.num_experts):
+            ep = p + f"mlp.experts.{e}."
+            gu = lp["w_gate_up"][i, e]
+            put(ep + "gate_proj.weight", gu[:, :I].T)
+            put(ep + "up_proj.weight", gu[:, I:].T)
+            put(ep + "down_proj.weight", lp["w_down"][i, e].T)
+        put(p + "input_layernorm.weight", lp["norm_attn"][i])
+        put(p + "post_attention_layernorm.weight", lp["norm_mlp"][i])
+    return out
 
 
 def quantize_moe_params(params: Dict[str, Any], recipes: RecipeSet):
@@ -387,7 +507,8 @@ def _moe_mlp(
     logits = jnp.dot(h.astype(jnp.float32), w_router.astype(jnp.float32))
     probs = jax.nn.softmax(logits, axis=-1)            # [T, E] fp32
     topv, topi = jax.lax.top_k(probs, K)               # [T, K]
-    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if cfg.norm_topk_prob:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
     aux = load_balance_loss(probs, topi, E, token_mask)
     y = dispatch_experts(
         h, topi, topv, w_gate_up, w_down, E,
@@ -448,8 +569,13 @@ def moe_forward(
         q, kk, vv = jnp.split(
             qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1
         )
-        q = apply_rope(q.reshape(B, S, Hq, Dh), cos, sin)
-        kk = apply_rope(kk.reshape(B, S, Hk, Dh), cos, sin)
+        q = q.reshape(B, S, Hq, Dh)
+        kk = kk.reshape(B, S, Hk, Dh)
+        if "q_norm" in lp:  # Qwen3-MoE: per-head QK-norm before rope
+            q = rmsnorm(q, lp["q_norm"], cfg.rms_eps)
+            kk = rmsnorm(kk, lp["k_norm"], cfg.rms_eps)
+        q = apply_rope(q, cos, sin)
+        kk = apply_rope(kk, cos, sin)
         vv = vv.reshape(B, S, Hk, Dh)
         if cache_kv is None:
             attn = attention(q, kk, vv, causal=True, kv_lens=kv_lens,

@@ -163,10 +163,14 @@ def _pack_fn_for(name: str):
 
         return pack_hf_state_dict
 
-    from llm_fp8_tpu.models.moe import MOE_REGISTRY, pack_mixtral_state_dict
+    from llm_fp8_tpu.models.moe import (
+        MOE_REGISTRY, pack_mixtral_state_dict, pack_qwen3_moe_state_dict,
+    )
 
     if name in MOE_REGISTRY:
-        return pack_mixtral_state_dict
+        # Qwen3-MoE entries carry qk_norm; Mixtral-class ones don't.
+        return (pack_qwen3_moe_state_dict if MOE_REGISTRY[name].qk_norm
+                else pack_mixtral_state_dict)
 
     from llm_fp8_tpu.models.mla import MLA_REGISTRY, pack_deepseek_state_dict
 

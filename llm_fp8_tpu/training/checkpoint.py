@@ -103,7 +103,11 @@ def export_hf(params: Dict[str, Any], cfg, out_dir: str, *, dequantize=True):
 
     os.makedirs(out_dir, exist_ok=True)
     is_moe = hasattr(cfg, "num_experts")
-    if is_moe:
+    if is_moe and cfg.qk_norm:
+        from llm_fp8_tpu.models.moe import export_qwen3_moe_state_dict
+
+        sd = export_qwen3_moe_state_dict(deq(params), cfg)
+    elif is_moe:
         from llm_fp8_tpu.models.moe import export_mixtral_state_dict
 
         sd = export_mixtral_state_dict(deq(params), cfg)
@@ -116,7 +120,9 @@ def export_hf(params: Dict[str, Any], cfg, out_dir: str, *, dequantize=True):
     # Derive model_type from the architectural features so transformers
     # reloads with the right class: qk_norm -> Qwen3, qkv_bias -> Qwen2
     # (a Llama reload would silently drop q/k/v biases and QK-norm weights).
-    if is_moe:
+    if is_moe and cfg.qk_norm:
+        model_type, arch = "qwen3_moe", "Qwen3MoeForCausalLM"
+    elif is_moe:
         model_type, arch = "mixtral", "MixtralForCausalLM"
     elif cfg.qk_norm:
         model_type, arch = "qwen3", "Qwen3ForCausalLM"
@@ -139,7 +145,16 @@ def export_hf(params: Dict[str, Any], cfg, out_dir: str, *, dequantize=True):
         "tie_word_embeddings": cfg.tie_word_embeddings,
         "max_position_embeddings": cfg.max_position_embeddings,
     }
-    if is_moe:
+    if is_moe and cfg.qk_norm:
+        # Qwen3MoeConfig field names; expert width is our intermediate_size.
+        hf_cfg["num_experts"] = cfg.num_experts
+        hf_cfg["num_experts_per_tok"] = cfg.num_experts_per_tok
+        hf_cfg["moe_intermediate_size"] = cfg.intermediate_size
+        hf_cfg["norm_topk_prob"] = cfg.norm_topk_prob
+        hf_cfg["decoder_sparse_step"] = 1
+        hf_cfg["mlp_only_layers"] = []
+        hf_cfg["attention_bias"] = False
+    elif is_moe:
         hf_cfg["num_local_experts"] = cfg.num_experts
         hf_cfg["num_experts_per_tok"] = cfg.num_experts_per_tok
         hf_cfg["sliding_window"] = None
