@@ -28,6 +28,7 @@ FAMILIES = {
     "debug-falcon": (NEOX_REGISTRY, init_neox_params, neox_forward),  # MQA
     "debug-gptj": (NEOX_REGISTRY, init_neox_params, neox_forward),
     "debug-mixtral": (MOE_REGISTRY, init_moe_params, moe_forward),  # MoE
+    "debug-qwen3moe": (MOE_REGISTRY, init_moe_params, moe_forward),  # QK-norm MoE
 }
 
 
