@@ -338,27 +338,31 @@ def cache_append_attend(
         v_store = _q(vv, v_scale, v_cache.dtype)
     else:
         k_store, v_store = kk, vv
+    # Hinted scatter append (unique + sorted indices). The hints are
+    # load-bearing: a vmapped dynamic_update_slice (or an unhinted
+    # .at[].set) lowers to a serialized per-row scatter — measured 20
+    # ms/step (78% of the whole step) on the MLA latent arena at
+    # 1B/batch 28 on v5e; with the hints the write hits the
+    # static-position floor (25.4 -> 5.9 ms/step).
+    B, S = k_store.shape[:2]
+    bidx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    pos = start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)
     if layer_idx is None:
         # Per-layer arenas [B, S, Hk, Dh] (cache flows through scan xs/ys).
-        upd = jax.vmap(
-            lambda c, s, p: jax.lax.dynamic_update_slice(c, s, (p, 0, 0))
-        )
-        k_cache = upd(k_cache, k_store, start_pos)
-        v_cache = upd(v_cache, v_store, start_pos)
+        k_cache = k_cache.at[bidx, pos].set(
+            k_store, unique_indices=True, indices_are_sorted=True)
+        v_cache = v_cache.at[bidx, pos].set(
+            v_store, unique_indices=True, indices_are_sorted=True)
         k_layer, v_layer = k_cache, v_cache
     else:
         # Full arena [L, B, S, Hk, Dh] carried through the scan: in-place
         # dynamic updates on the carry — no per-layer arena copies (the
         # xs→ys form rewrites the whole cache every step; profiled as
         # ~10% of decode time on v5e).
-        upd = jax.vmap(
-            lambda c, s, p: jax.lax.dynamic_update_slice(
-                c, s[None], (layer_idx, p, 0, 0)
-            ),
-            in_axes=(1, 0, 0), out_axes=1,
-        )
-        k_cache = upd(k_cache, k_store, start_pos)
-        v_cache = upd(v_cache, v_store, start_pos)
+        k_cache = k_cache.at[layer_idx, bidx, pos].set(
+            k_store, unique_indices=True, indices_are_sorted=True)
+        v_cache = v_cache.at[layer_idx, bidx, pos].set(
+            v_store, unique_indices=True, indices_are_sorted=True)
         k_layer = jax.lax.dynamic_index_in_dim(
             k_cache, layer_idx, 0, keepdims=False
         )

@@ -647,22 +647,28 @@ def mla_forward(
             c_new, pe_new = _latents(h, lp, cfg, cos, sin)
 
             # Append into the [L, B, T, 1, ·] arenas at each row's
-            # start_pos, quantizing (clip-before-cast, same NaN guard as
+            # start_pos via a hinted scatter (unique + sorted indices),
+            # quantizing (clip-before-cast, same NaN guard as
             # cache_append_attend) when the arena is a narrow dtype.
+            # The hints are load-bearing: a vmapped dynamic_update_slice
+            # (or an unhinted .at[].set) lowers to a serialized scatter
+            # that measured 20 ms/step at 1B/batch 28 on v5e — 78% of the
+            # whole decode step; with the hints the write hits the
+            # static-position floor (25.4 -> 5.9 ms/step, 4.3x).
+            Bq, Sq = c_new.shape[:2]
+            bidx = jnp.arange(Bq, dtype=jnp.int32)[:, None]
+            pos = start_pos[:, None] + jnp.arange(Sq, dtype=jnp.int32)
+
             def store(arena, new, scale):
                 if arena.dtype != new.dtype:
                     fmax = float(jnp.finfo(arena.dtype).max)
                     new = jnp.clip(
                         new.astype(jnp.float32) / scale, -fmax, fmax
                     )
-                upd = jax.vmap(
-                    lambda a, s, p: jax.lax.dynamic_update_slice(
-                        a, s.astype(a.dtype)[None, :, None, :],
-                        (layer_idx, p, 0, 0),
-                    ),
-                    in_axes=(1, 0, 0), out_axes=1,
+                return arena.at[layer_idx, bidx, pos, 0].set(
+                    new.astype(arena.dtype),
+                    unique_indices=True, indices_are_sorted=True,
                 )
-                return upd(arena, new, start_pos)
 
             ck = store(ck, c_new, k_s)
             cv = store(cv, pe_new, v_s)
