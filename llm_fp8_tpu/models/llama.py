@@ -658,16 +658,13 @@ def forward_paged(
     offsets = lens % page_size
 
     def append(pages, new, layer_idx):
-        """Scatter new [B, Hk, Dh] into pages at (page_ids[b], layer, :, :, off)."""
-
-        def one(b, pages):
-            upd = new[b][None, None, :, :, None]  # [1,1,Hk,Dh,1]
-            return jax.lax.dynamic_update_slice(
-                pages, upd.astype(pages.dtype),
-                (page_ids[b], layer_idx, 0, 0, offsets[b]),
-            )
-
-        return jax.lax.fori_loop(0, B, one, pages)
+        """Scatter new [B, Hk, Dh] into pages at (page_ids[b], layer, :, :,
+        off[b]) — hinted (each sequence owns its pages, so (page, offset)
+        pairs are unique): the unhinted per-row-update form serializes
+        (see docs/PERF_NOTES.md "Scatter hints on cache appends")."""
+        return pages.at[page_ids, layer_idx, :, :, offsets].set(
+            new.astype(pages.dtype), unique_indices=True
+        )
 
     def body(carry, lp_l):
         x, kp, vp = carry
