@@ -154,6 +154,61 @@ def bench_decode_arena(params, cfg, kv_dtype, batch):
     return batch * ITERS / sorted(times)[1]
 
 
+def _mla_1b_config():
+    """llama-3.2-1b's shape with MLA attention, all layers dense — the
+    equal-HBM capacity comparison subject (scripts/bench_mla.py docstring
+    has the full cache-geometry math)."""
+    from llm_fp8_tpu.models.mla import MLAConfig
+
+    return MLAConfig(
+        name="mla-1b-dense", vocab_size=128256, hidden_size=2048,
+        intermediate_size=8192, num_layers=16, num_heads=16, num_kv_heads=1,
+        head_dim=192, rope_theta=500000.0, tie_word_embeddings=True,
+        q_lora_rank=None, kv_lora_rank=256, qk_nope_head_dim=128,
+        qk_rope_head_dim=64, v_head_dim=128,
+        num_experts=1, num_experts_per_tok=1, n_shared_experts=1,
+        moe_intermediate_size=64, first_k_dense_replace=16,
+    )
+
+
+# int8 weights (1.22 GB) + the 10 KiB/token latent cache seat batch 120
+# within the bf16@8 GQA footprint (measured 11.6x bf16 tokens/s).
+BATCH_MLA_INT8 = 120
+
+
+def bench_mla_decode(params, cfg, batch):
+    """Steady-state absorbed-latent MLA decode (same scan-loop discipline)."""
+    from llm_fp8_tpu.models.mla import mla_forward
+
+    cache = init_kv_cache(cfg, batch, CACHE_LEN, dtype=jnp.bfloat16)
+    lens = jnp.full((batch,), CTX, jnp.int32)
+    toks = jnp.ones((batch, 1), jnp.int32)
+
+    @jax.jit
+    def loop(params, cache, toks, lens):
+        def body(carry, _):
+            cache, toks, lens = carry
+            logits, cache = mla_forward(
+                params, toks, cfg, cache=cache, start_pos=lens,
+                kv_lens=lens + 1,
+            )
+            toks = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)[:, None]
+            return (cache, toks, lens + 1), None
+
+        (cache, toks, lens), _ = jax.lax.scan(
+            body, (cache, toks, lens), None, length=ITERS
+        )
+        return toks
+
+    _sync(loop(params, cache, toks, lens))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(loop(params, cache, toks, lens))
+        times.append(time.perf_counter() - t0)
+    return batch * ITERS / sorted(times)[1]
+
+
 def _fake_quantized_params(cfg):
     """Build LAYERWISE-quantized params directly in FP8 — the bf16
     intermediate of init+quantize would transiently need 2 bytes/param
@@ -349,6 +404,9 @@ def main():
                   file=sys.stderr)
         del q_int8
 
+    # 8B leg before the MLA leg: it is the tightest HBM fit (≈11 GB peak
+    # during fake-param construction) and the most fragmentation-sensitive,
+    # so it runs while the heap is cleanest.
     if _remaining() > EIGHT_B_COST_S:
         tps_8b = bench_8b_fp8()
         if tps_8b:
@@ -362,6 +420,31 @@ def main():
             f"(< {EIGHT_B_COST_S:.0f}s estimate)",
             file=sys.stderr,
         )
+
+    # MLA capacity leg: compressed-latent cache + int8 weights at equal HBM
+    # (the best measured serving config on this chip — 10.9-11.6x bf16 GQA).
+    if _remaining() > 150:
+        try:
+            from llm_fp8_tpu.models.mla import (
+                init_mla_params, quantize_mla_params,
+            )
+            from llm_fp8_tpu.quant import recipe_set_by_name
+
+            mcfg = _mla_1b_config()
+            mparams = quantize_mla_params(
+                init_mla_params(mcfg, jax.random.PRNGKey(1),
+                                dtype=jnp.bfloat16),
+                recipe_set_by_name("int8"),
+            )
+            mla_tps = bench_mla_decode(mparams, mcfg, BATCH_MLA_INT8)
+            del mparams
+            result["mla_int8_tokens_per_s"] = round(mla_tps, 1)
+            result["mla_int8_batch"] = BATCH_MLA_INT8
+            result["mla_int8_decode_x"] = round(mla_tps / bf16_tps, 3)
+            print(json.dumps(result), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"MLA leg failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -30,59 +30,20 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _sync, bench_decode, BATCH_BF16, CTX, CACHE_LEN, ITERS  # noqa: E402
+from bench import (  # noqa: E402
+    bench_decode, bench_mla_decode, _mla_1b_config,
+    BATCH_BF16, BATCH_MLA_INT8,
+)
 from llm_fp8_tpu.models import get_config, init_params  # noqa: E402
-from llm_fp8_tpu.models.llama import init_kv_cache  # noqa: E402
-from llm_fp8_tpu.models.mla import MLAConfig, init_mla_params, mla_forward  # noqa: E402
+from llm_fp8_tpu.models.mla import init_mla_params  # noqa: E402
 from llm_fp8_tpu.quant import recipe_set_by_name  # noqa: E402
 
-# llama-3.2-1b's shape with MLA attention; all layers dense (num_experts
-# fields unused when first_k_dense_replace == num_layers).
-MLA_1B = MLAConfig(
-    name="mla-1b-dense", vocab_size=128256, hidden_size=2048,
-    intermediate_size=8192, num_layers=16, num_heads=16, num_kv_heads=1,
-    head_dim=192, rope_theta=500000.0, tie_word_embeddings=True,
-    q_lora_rank=None, kv_lora_rank=256, qk_nope_head_dim=128,
-    qk_rope_head_dim=64, v_head_dim=128,
-    num_experts=1, num_experts_per_tok=1, n_shared_experts=1,
-    moe_intermediate_size=64, first_k_dense_replace=16,
-)
+MLA_1B = _mla_1b_config()
 
 # weights bf16 ~2.44 GB (1.22B params) vs llama-1b's 2.47; llama bf16@8
 # footprint ~2.73 GB leaves ~0.29 GB of cache budget -> MLA batch 28 at
 # 10 KiB/token x 1024. int8 weights (1.22 GB) free ~1.5 GB -> batch 120.
 BATCH_MLA_BF16 = 28
-BATCH_MLA_INT8 = 120
-
-
-def bench_mla_decode(params, cfg, batch):
-    cache = init_kv_cache(cfg, batch, CACHE_LEN, dtype=jnp.bfloat16)
-    lens = jnp.full((batch,), CTX, jnp.int32)
-    toks = jnp.ones((batch, 1), jnp.int32)
-
-    @jax.jit
-    def loop(params, cache, toks, lens):
-        def body(carry, _):
-            cache, toks, lens = carry
-            logits, cache = mla_forward(
-                params, toks, cfg, cache=cache, start_pos=lens,
-                kv_lens=lens + 1,
-            )
-            toks = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)[:, None]
-            return (cache, toks, lens + 1), None
-
-        (cache, toks, lens), _ = jax.lax.scan(
-            body, (cache, toks, lens), None, length=ITERS
-        )
-        return toks
-
-    _sync(loop(params, cache, toks, lens))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _sync(loop(params, cache, toks, lens))
-        times.append(time.perf_counter() - t0)
-    return batch * ITERS / sorted(times)[1]
 
 
 def main():
