@@ -1,8 +1,21 @@
 """Block allocator / sequence table tests — native C++ and Python fallback."""
+import pathlib
+import shutil
+import subprocess
+
 import numpy as np
 import pytest
 
-from llm_fp8_tpu.serving.block_table import (
+import llm_fp8_tpu.serving.block_table as _bt
+
+# The .so is a build artifact (not committed); build it here so a fresh
+# checkout still exercises the native path whenever a compiler exists.
+if not _bt.native_available() and shutil.which("make") and shutil.which("g++"):
+    _csrc = pathlib.Path(__file__).resolve().parents[1] / "csrc"
+    subprocess.run(["make", "-C", str(_csrc)], check=True, capture_output=True)
+    _bt._lib = None  # drop the cached "missing" probe and re-load
+
+from llm_fp8_tpu.serving.block_table import (  # noqa: E402
     BlockAllocator,
     SequenceTable,
     native_available,
