@@ -436,10 +436,24 @@ def main():
                                 dtype=jnp.bfloat16),
                 recipe_set_by_name("int8"),
             )
-            mla_tps = bench_mla_decode(mparams, mcfg, BATCH_MLA_INT8)
+            # Batch ladder: the chip is time-shared, so a co-tenant can hold
+            # HBM when this leg runs — fall back to smaller equal-ratio
+            # batches rather than losing the leg to RESOURCE_EXHAUSTED.
+            mla_tps = mla_batch = None
+            for b in (BATCH_MLA_INT8, 96, 64):
+                try:
+                    mla_tps, mla_batch = bench_mla_decode(mparams, mcfg, b), b
+                    break
+                except Exception as e:  # noqa: BLE001
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    print(f"MLA leg OOM at batch {b}, retrying smaller",
+                          file=sys.stderr)
             del mparams
+            if mla_tps is None:
+                raise RuntimeError("MLA leg OOM at every batch tried")
             result["mla_int8_tokens_per_s"] = round(mla_tps, 1)
-            result["mla_int8_batch"] = BATCH_MLA_INT8
+            result["mla_int8_batch"] = mla_batch
             result["mla_int8_decode_x"] = round(mla_tps / bf16_tps, 3)
             print(json.dumps(result), flush=True)
         except Exception as e:  # noqa: BLE001

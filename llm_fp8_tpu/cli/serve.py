@@ -25,7 +25,7 @@ def build_parser():
     p.add_argument("--weights_path", type=str, default=None)
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--precision", type=str, default="fp8",
-                   choices=["fp8", "int8", "bf16"],
+                   choices=["fp8", "int8", "int4", "bf16"],
                    help="int8 = weight-only symmetric int8, the v5e-native "
                         "serving format (hardware int8→bf16 convert; "
                         "docs/PERF_NOTES.md)")
@@ -76,8 +76,8 @@ def main(argv=None):
                                      dtype=dtype)
     if args.precision == "fp8":
         params = entry.quantize_fn(params, recipe_set_by_name(args.fp8_scenario))
-    elif args.precision == "int8":
-        params = entry.quantize_fn(params, recipe_set_by_name("int8"))
+    elif args.precision in ("int8", "int4"):
+        params = entry.quantize_fn(params, recipe_set_by_name(args.precision))
 
     from llm_fp8_tpu.utils.backend import resolve_kv_dtype
 

@@ -118,7 +118,7 @@ def quantize_params(
             # contract_axis is the K axis of the stacked [L, K, N] weight.
             layers[name] = quantize(
                 wv.astype(jnp.float32), recipe.fmt_fwd, axes=(contract_axis,),
-                margin=recipe.margin,
+                margin=recipe.margin, group_size=recipe.group_size,
             )
 
     q("wqkv", "attn_qkv")

@@ -403,6 +403,7 @@ def quantize_mla_params(params: Dict[str, Any], recipes: RecipeSet):
             layers[name] = quantize(
                 wv.astype(jnp.float32), recipe.fmt_fwd,
                 axes=(contract_axis,), margin=recipe.margin,
+                group_size=recipe.group_size,
             )
 
     for gname in ("dense_layers", "moe_layers"):

@@ -339,6 +339,7 @@ def quantize_moe_params(params: Dict[str, Any], recipes: RecipeSet):
             layers[name] = quantize(
                 wv.astype(jnp.float32), recipe.fmt_fwd,
                 axes=(contract_axis,), margin=recipe.margin,
+                group_size=recipe.group_size,
             )
 
     q("wqkv", "attn_qkv", 1)
@@ -374,7 +375,7 @@ def _edot(x: jax.Array, w, pattern: str) -> jax.Array:
             return jnp.einsum(pattern, x, w.dequantize(x.dtype),
                               preferred_element_type=jnp.float32
                               ).astype(x.dtype)
-        y = jnp.einsum(pattern, x, w.qvalue.astype(x.dtype),
+        y = jnp.einsum(pattern, x, w.unpack().astype(x.dtype),
                        preferred_element_type=jnp.float32)
         # scale [E, 1, F] broadcasts over [E, C, F].
         return (y * w.scale.astype(jnp.float32)).astype(x.dtype)

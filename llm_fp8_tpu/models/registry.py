@@ -60,7 +60,7 @@ def quantize_zoo_params(params: Dict[str, Any], recipes: RecipeSet,
         else:
             layers[name] = quantize(
                 wv.astype(jnp.float32), recipe.fmt_fwd, axes=(1,),
-                margin=recipe.margin,
+                margin=recipe.margin, group_size=recipe.group_size,
             )
     out["layers"] = layers
     return out

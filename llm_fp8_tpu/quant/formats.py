@@ -18,6 +18,7 @@ __all__ = [
     "E5M2",
     "E8M0",
     "INT8",
+    "INT4",
     "HYBRID_FWD",
     "HYBRID_BWD",
 ]
@@ -61,12 +62,20 @@ E8M0 = Format("e8m0", jnp.float8_e8m0fnu, _finfo_max(jnp.float8_e8m0fnu))
 #: thesis's FP8-weight vLLM serving format on hardware without fp8 MXU paths.
 INT8 = Format("int8", jnp.int8, 127.0)
 
+#: Symmetric int4, nibble-packed two-per-int8-byte (the TPU compiler's s4
+#: support is not reliable through every backend, so packing is explicit).
+#: Halves weight bytes again vs int8: in the weight-read-bound decode regime
+#: that is both less HBM traffic per step and more batch at equal footprint.
+#: Unpack is two VPU shift ops feeding the hardware int8→bf16 convert, fused
+#: by XLA into the dot's operand read. Range ±7 (symmetric, like int8's ±127).
+INT4 = Format("int4", jnp.int8, 7.0)
+
 # TE's HYBRID recipe means: e4m3 for forward-pass tensors (weights/activations),
 # e5m2 for backward-pass tensors (gradients). We name both halves explicitly.
 HYBRID_FWD = E4M3
 HYBRID_BWD = E5M2
 
-_BY_NAME = {f.name: f for f in (E4M3, E5M2, E8M0, INT8)}
+_BY_NAME = {f.name: f for f in (E4M3, E5M2, E8M0, INT8, INT4)}
 
 
 def format_by_name(name: str) -> Format:

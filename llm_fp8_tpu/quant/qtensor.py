@@ -65,6 +65,15 @@ class QTensor:
     block_axis: Optional[int] = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    #: int4 nibble packing: when set, ``qvalue`` is int8 with TWO 4-bit values
+    #: per byte along this (negative, like block_axis) axis — low nibble =
+    #: even logical index, high nibble = odd. ``unpack()`` restores the
+    #: logical int8 array. Packed because s4 dtypes are not reliably supported
+    #: end-to-end on every backend; two shifts unpack it on the VPU and XLA
+    #: fuses them into the consumer.
+    pack_axis: Optional[int] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def shape(self):
@@ -85,8 +94,14 @@ class QTensor:
             return scale
         return jnp.repeat(scale, self.block_size, axis=self.block_axis)
 
+    def unpack(self) -> jax.Array:
+        """Logical int8 array from a nibble-packed payload (no-op otherwise)."""
+        if self.pack_axis is None:
+            return self.qvalue
+        return _unpack_int4(self.qvalue, self.pack_axis)
+
     def dequantize(self, dtype=jnp.float32) -> jax.Array:
-        return (self.qvalue.astype(jnp.float32) * self.spread_scale()).astype(dtype)
+        return (self.unpack().astype(jnp.float32) * self.spread_scale()).astype(dtype)
 
     def nbytes(self) -> int:
         return self.qvalue.size * self.qvalue.dtype.itemsize + self.scale.size * self.scale.dtype.itemsize
@@ -110,6 +125,47 @@ def _amax(x: jax.Array, axes: Optional[Sequence[int]]) -> jax.Array:
     return jnp.max(a, axis=tuple(axes), keepdims=True)
 
 
+def _pack_int4(q: jax.Array, axis: int) -> jax.Array:
+    """Pack an int8 array of int4-range values two-per-byte along ``axis``.
+
+    SPLIT-HALF byte layout: byte ``i`` holds logical elements ``i`` (low
+    nibble) and ``i + n/2`` (high nibble) — NOT adjacent pairs. This makes
+    each unpacked half a pure elementwise function of the packed array (two
+    shifts, same shape, no interleave/reshape), so consumers can keep the
+    unpack inside a fused operand read: ``x @ W = x_lo @ lo(Wp) + x_hi @
+    hi(Wp)`` (quant/dot.py::_int4_dot). The interleaved layout's
+    stack+reshape forced XLA to materialize the unpacked weights in HBM
+    every decode step — measured 0.75x bf16 where int8 does 2.40x.
+    """
+    axis = axis % q.ndim
+    n = q.shape[axis]
+    if n % 2 != 0:
+        raise ValueError(f"int4 pack axis {axis} has odd length {n}")
+    lo = jax.lax.slice_in_dim(q, 0, n // 2, axis=axis)
+    hi = jax.lax.slice_in_dim(q, n // 2, n, axis=axis)
+    # hi << 4 wraps correctly in int8 for the full [-8, 7] nibble range.
+    return ((lo & jnp.int8(0x0F)) | (hi << 4)).astype(jnp.int8)
+
+
+def _unpack_int4_halves(q: jax.Array) -> tuple:
+    """The two logical halves of a packed array, each elementwise in ``q``.
+
+    Arithmetic right shift sign-extends; the ``<<4 >>4`` pair sign-extends
+    the low nibble.
+    """
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(q, jnp.int8(4)), jnp.int8(4)
+    )
+    hi = jax.lax.shift_right_arithmetic(q, jnp.int8(4))
+    return lo, hi
+
+
+def _unpack_int4(q: jax.Array, axis: int) -> jax.Array:
+    """Inverse of :func:`_pack_int4`: int8 nibbles -> logical int8 array."""
+    lo, hi = _unpack_int4_halves(q)
+    return jnp.concatenate([lo, hi], axis=axis % q.ndim)
+
+
 def quantize(
     x: jax.Array,
     fmt: Format = E4M3,
@@ -117,6 +173,7 @@ def quantize(
     axes: Optional[Sequence[int]] = None,
     scale: Optional[jax.Array] = None,
     margin: int = 0,
+    group_size: Optional[int] = None,
 ) -> QTensor:
     """Per-tensor (``axes=None``) or per-axis quantization.
 
@@ -124,8 +181,23 @@ def quantize(
     weight ``[in, out]`` contracted over ``in``, ``axes=(0,)`` gives one scale
     per output channel. Pass ``scale`` to reuse a precomputed (e.g. delayed)
     scale instead of the just-in-time amax.
+
+    ``group_size`` subdivides the single reduction axis into groups that each
+    get their own (float, not power-of-two) scale — the standard int4 serving
+    granularity (GPTQ/AWQ-style symmetric groups): per-channel int4's 15
+    levels are too coarse across a whole contraction, per-group recovers most
+    of the accuracy for ~3% extra bytes at g=128. Falls back to per-axis when
+    the axis is not divisible by the group size.
     """
     x32 = x.astype(jnp.float32)
+    if (
+        group_size is not None
+        and scale is None
+        and axes is not None
+        and len(axes) == 1
+        and x.shape[axes[0] % x.ndim] % group_size == 0
+    ):
+        return _quantize_grouped(x32, fmt, axes[0] % x.ndim, group_size, margin)
     if scale is None:
         scale = compute_scale(_amax(x32, axes), fmt, margin)
     else:
@@ -139,7 +211,53 @@ def quantize(
     q = q.astype(fmt.dtype)
     if scale.ndim == 0:
         scale = scale.reshape((1,) * x.ndim)
+    if fmt.name == "int4":
+        # Nibble-pack along the contraction axis (the single reduced axis).
+        # Stored negative, like block_axis, so the QTensor stays valid when
+        # lax.scan peels leading layer axes off a stacked [L, K, N] leaf.
+        if axes is None or len(axes) != 1:
+            raise ValueError(
+                "int4 quantization needs exactly one reduction axis "
+                "(the contraction) to pack along"
+            )
+        pack_axis = axes[0] % x.ndim
+        return QTensor(
+            qvalue=_pack_int4(q, pack_axis), scale=scale, fmt=fmt,
+            pack_axis=pack_axis - x.ndim,
+        )
     return QTensor(qvalue=q, scale=scale, fmt=fmt)
+
+
+def _quantize_grouped(
+    x32: jax.Array, fmt: Format, axis: int, group_size: int, margin: int
+) -> QTensor:
+    """Per-group scales along ``axis`` (float scales, one per group).
+
+    Same block layout as MX (scale axis = ``shape[axis] // group_size``),
+    but with exact float scales rather than power-of-two — int4 needs the
+    tighter fit. int4 payloads come back nibble-packed.
+    """
+    n = x32.shape[axis]
+    split = x32.shape[:axis] + (n // group_size, group_size) + x32.shape[axis + 1 :]
+    xb = x32.reshape(split)
+    amax = jnp.max(jnp.abs(xb), axis=axis + 1)  # [..., n//g, ...]
+    scale = compute_scale(amax, fmt, margin)
+    q = jnp.clip(xb / jnp.expand_dims(scale, axis + 1), -fmt.max, fmt.max)
+    if jnp.issubdtype(fmt.dtype, jnp.integer):
+        q = jnp.round(q)
+    q = q.astype(fmt.dtype).reshape(x32.shape)
+    pack_axis = None
+    if fmt.name == "int4":
+        q = _pack_int4(q, axis)
+        pack_axis = axis - x32.ndim
+    return QTensor(
+        qvalue=q,
+        scale=scale,
+        fmt=fmt,
+        block_size=group_size,
+        block_axis=axis - x32.ndim,
+        pack_axis=pack_axis,
+    )
 
 
 def quantize_mx(

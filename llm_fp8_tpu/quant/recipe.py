@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Literal, Optional
 
-from .formats import Format, E4M3, E5M2, INT8
+from .formats import Format, E4M3, E5M2, INT8, INT4
 
 __all__ = [
     "Recipe",
@@ -25,6 +25,7 @@ __all__ = [
     "UNIFORM_HYBRID",
     "MXFP8_SET",
     "INT8_WEIGHTS",
+    "INT4_WEIGHTS",
     "INT8_TRAIN",
     "BF16_SET",
     "recipe_set_by_name",
@@ -53,6 +54,10 @@ class Recipe:
     # Quantize activations (not just weights). Weight-only FP8 is the
     # bandwidth-bound serving recipe; weights+activations is the training one.
     quantize_activations: bool = True
+    # Per-group weight scales along the contraction (channel granularity
+    # only): the standard int4 serving granularity. None = one scale per
+    # output channel.
+    group_size: Optional[int] = None
 
     def with_(self, **kw) -> "Recipe":
         return dataclasses.replace(self, **kw)
@@ -147,6 +152,25 @@ INT8_WEIGHTS = RecipeSet(
     },
 )
 
+#: Weight-only symmetric int4, nibble-packed two-per-byte, per-output-channel
+#: scales — the capacity-maximal serving recipe: weight bytes halve again vs
+#: int8, which in the weight-read-bound decode regime is both less HBM
+#: traffic per step and more batch at equal footprint. Unpack is two VPU
+#: shifts feeding the hardware int8→bf16 convert (formats.py::INT4). Coarser
+#: than int8 (15 levels per channel) — use where int8 accuracy headroom
+#: allows, or with group-wise finetuning upstream.
+_INT4_W = Recipe(granularity="channel", fmt_fwd=INT4, fmt_bwd=E5M2,
+                 quantize_activations=False, group_size=128)
+INT4_WEIGHTS = RecipeSet(
+    name="int4",
+    default=None,
+    overrides={
+        "attn_qkv": _INT4_W,
+        "attn_out": _INT4_W,
+        "mlp": _INT4_W,
+    },
+)
+
 #: Per-channel symmetric int8 on BOTH operands of every matmul, forward and
 #: backward — the TPU-native precision-accelerated *training* recipe. On
 #: v5e-class parts the MXU executes int8×int8→int32 at ~2× its bf16 FLOP
@@ -171,7 +195,8 @@ INT8_TRAIN = RecipeSet(
 BF16_SET = RecipeSet(name="bf16", default=None, overrides={})
 
 _SETS = {s.name: s for s in (LAYERWISE, UNIFORM_HYBRID, MXFP8_SET,
-                             INT8_WEIGHTS, INT8_TRAIN, BF16_SET)}
+                             INT8_WEIGHTS, INT4_WEIGHTS, INT8_TRAIN,
+                             BF16_SET)}
 # CLI-compatible aliases: the reference calls the layer-wise recipe "default"
 # (fp8_scenario ∈ {default, mxfp8, hybrid}, train_fp8.py:103-116).
 _SETS["default"] = LAYERWISE

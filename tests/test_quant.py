@@ -13,6 +13,7 @@ from llm_fp8_tpu.quant import (
     E4M3,
     E5M2,
     INT8,
+    INT4,
     DELAYED_E4M3,
     DELAYED_HYBRID,
     MXFP8,
@@ -128,6 +129,106 @@ class TestInt8:
         assert not r.quantize_activations
         assert rs.for_role("kv_cache") is None   # bf16 KV — the v5e winner
         assert rs.for_role("lm_head") is None
+
+
+class TestInt4:
+    """Nibble-packed int4 weight-only storage (quant/qtensor.py pack/unpack)."""
+
+    @pytest.mark.exact
+    def test_pack_unpack_round_trip_exhaustive(self):
+        # Every (lo, hi) nibble pair in [-8, 7]^2 must survive the pack.
+        from llm_fp8_tpu.quant.qtensor import _pack_int4, _unpack_int4
+
+        lo, hi = jnp.meshgrid(jnp.arange(-8, 8), jnp.arange(-8, 8))
+        q = jnp.stack([lo.reshape(-1), hi.reshape(-1)], 1).reshape(-1).astype(jnp.int8)
+        q = q.reshape(-1, 1)  # [512, 1], pack along axis 0
+        packed = _pack_int4(q, 0)
+        assert packed.shape == (256, 1) and packed.dtype == jnp.int8
+        np.testing.assert_array_equal(np.asarray(_unpack_int4(packed, 0)),
+                                      np.asarray(q))
+
+    def test_quantize_packs_along_contraction(self):
+        w = rand(30, (64, 48))
+        q = quantize(w, INT4, axes=(0,))
+        assert q.qvalue.shape == (32, 48)
+        assert q.pack_axis == -2
+        # dequantize must equal the reference per-channel int4 quantization
+        scale = np.abs(np.asarray(w)).max(axis=0, keepdims=True) / 7.0
+        want = np.clip(np.round(np.asarray(w) / scale), -7, 7) * scale
+        np.testing.assert_allclose(np.asarray(q.dequantize()), want, rtol=1e-6)
+
+    def test_group_scales_tighter_bound(self):
+        # Per-group error bound: |x - deq| <= group_scale / 2 elementwise.
+        w = rand(31, (256, 32))
+        q = quantize(w, INT4, axes=(0,), group_size=64)
+        assert q.qvalue.shape == (128, 32)
+        assert q.block_size == 64 and q.block_axis == -2
+        err = jnp.abs(q.dequantize() - w)
+        spread = jnp.repeat(q.scale, 64, axis=0)
+        assert jnp.all(err <= spread * 0.5 + 1e-7)
+
+    def test_group_size_falls_back_when_indivisible(self):
+        w = rand(32, (100, 32))
+        q = quantize(w, INT4, axes=(0,), group_size=64)
+        assert q.block_size is None          # per-channel fallback
+        assert q.qvalue.shape == (50, 32)    # still packed
+
+    def test_qdot_matches_dequant_matmul(self):
+        x = rand(33, (8, 256)).astype(jnp.bfloat16)
+        w = rand(34, (256, 128))
+        for g in (None, 128):
+            wq = quantize(w, INT4, axes=(0,), group_size=g)
+            got = qdot(x, wq)
+            want = jnp.dot(x.astype(jnp.float32), wq.dequantize())
+            np.testing.assert_allclose(got.astype(jnp.float32), want,
+                                       rtol=0.05, atol=0.5)
+
+    def test_scan_peel_survives_packing(self):
+        # Stacked [L, K, N] leaf: peeling L off (as lax.scan does) must leave
+        # a valid packed QTensor (negative pack/block axes).
+        wl = rand(35, (4, 64, 48))
+        q = quantize(wl, INT4, axes=(1,), group_size=32)
+        one = jax.tree_util.tree_map(lambda a: a[0], q)
+        assert one.dequantize().shape == (64, 48)
+
+    def test_recipe_set(self):
+        rs = recipe_set_by_name("int4")
+        r = rs.for_role("mlp")
+        assert r.fmt_fwd.name == "int4"
+        assert not r.quantize_activations
+        assert r.group_size == 128
+        assert rs.for_role("kv_cache") is None
+
+    def test_llama_quantize_params_halves_int8_bytes(self):
+        from llm_fp8_tpu.models import get_config, init_params, quantize_params
+
+        cfg = get_config("debug-small")
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        toks = jnp.arange(12)[None, :] % cfg.vocab_size
+        from llm_fp8_tpu.models.llama import forward
+
+        ref, _ = forward(params, toks, cfg)
+
+        def nbytes(t):
+            return sum(x.size * x.dtype.itemsize
+                       for x in jax.tree_util.tree_leaves(t))
+
+        q8 = quantize_params(params, recipe_set_by_name("int8"))
+        q4 = quantize_params(params, recipe_set_by_name("int4"))
+        l8, _ = forward(q8, toks, cfg)
+        l4, _ = forward(q4, toks, cfg)
+        # int4's step is 16x int8's, and the tiny random-init debug model is
+        # the worst case (no channel structure for the group scales to
+        # exploit); assert sane, not tight.
+        rel8 = float(jnp.linalg.norm(l8 - ref) / jnp.linalg.norm(ref))
+        rel4 = float(jnp.linalg.norm(l4 - ref) / jnp.linalg.norm(ref))
+        assert rel8 < 0.02, rel8
+        assert rel4 < 0.4, rel4
+        # Quantized GEMM weights shrink ~2x vs int8 (embeddings stay bf16).
+        emb = params["embed"].size * 2
+        if "lm_head" in params:
+            emb += params["lm_head"].size * 2
+        assert nbytes(q4) - emb < 0.6 * (nbytes(q8) - emb)
 
 
 class TestMX:
