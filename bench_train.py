@@ -79,13 +79,22 @@ def _sync(x):
     np.asarray(leaf.reshape(-1)[:1])
 
 
-def bench_one(cfg, recipes, batch, remat=True, seq=SEQ, ce_chunks=0):
-    """Median seconds per train step for the given recipe set."""
+def bench_one(cfg, recipes, batch, remat=True, seq=SEQ, ce_chunks=0,
+              grad_accum=1):
+    """Median seconds per train step for the given recipe set.
+
+    ``grad_accum > 1`` measures the amortized-optimizer regime: the AdamW
+    update (a fixed ~34 ms at 1B — one read+write pass over params, mu, nu;
+    scripts/profile_train.py) applies once per ``grad_accum`` microbatches,
+    so its cost per token shrinks accordingly. The timed scan still runs one
+    microbatch per iteration; MFU uses the same per-microbatch model FLOPs.
+    """
     trainer = Trainer(
         cfg,
         TrainConfig(
             recipes=recipes, warmup_steps=1, total_steps=1000, remat=remat,
             adam_mu_dtype="bfloat16", ce_chunks=ce_chunks,
+            grad_accum=grad_accum,
         ),
     )
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)

@@ -33,6 +33,23 @@ __all__ = ["flash_attention"]
 
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
+
+
+def _auto_block(seq: int) -> int:
+    """Largest tile in {128, 256, 512} that the sequence fills.
+
+    At training shapes the kernel is grid-overhead bound, not FLOPs bound:
+    with 128x128 tiles at B8/Hq32/S512/D64 the grid is 4096 programs of
+    ~4 MFLOP each and the forward measures 41 ms where the attention-FLOPs
+    ideal is <1 ms (scripts/profile_fwd_parts.py). 512-wide tiles collapse
+    the grid 16x and quadruple MXU work per program; VMEM stays far under
+    budget (scores block [512, 512] f32 = 1 MB). Decode (Sq=1) keeps the
+    128 floor so padded rows stay cheap.
+    """
+    for b in (512, 256):
+        if seq >= b:
+            return b
+    return 128
 # -0.7 * f32_max, not -inf: exp(-inf - (-inf)) would NaN in the online update.
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -407,8 +424,8 @@ def flash_attention(
     dropout_p: float = 0.0,
     dropout_seed: int | jax.Array = 0,
     deterministic: bool = True,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Flash attention over bshd tensors; semantics of
@@ -455,6 +472,10 @@ def flash_attention(
         if alibi_slopes.ndim == 1:
             alibi_slopes = jnp.broadcast_to(alibi_slopes[None, :], (B, Hq))
         assert alibi_slopes.shape == (B, Hq), alibi_slopes.shape
+    if block_q is None:
+        block_q = _auto_block(Sq)
+    if block_k is None:
+        block_k = _auto_block(Sk)
     cfg = _FlashCfg(
         causal=causal, window=window, softcap=softcap,
         scale=scale if scale is not None else D ** -0.5,

@@ -19,12 +19,12 @@ from bench_train import bench_one, model_flops_per_step, PEAK_FLOPS  # noqa: E40
 from llm_fp8_tpu.models import get_config  # noqa: E402
 
 CONFIGS = [
-    # (batch, remat, ce_chunks)
-    (8, "dots", 0),
-    (8, "dots", 8),
-    (16, True, 8),      # full remat, big batch (logits memory freed)
-    (8, False, 8),      # no remat at all — fits only if ce frees enough
-    (16, "dots", 8),
+    # (batch, remat, ce_chunks, grad_accum)
+    (8, "dots", 0, 1),   # round-2 best (43.7% MFU) — same-run anchor
+    (8, "dots", 0, 4),   # amortize the ~34 ms AdamW pass over 4 microbatches
+    (8, "dots", 8, 4),   # + chunked CE frees the 2.1 GB logits
+    (12, "dots", 8, 1),  # bigger batch if ce_chunks frees enough
+    (8, "dots", 0, 8),
 ]
 
 
@@ -33,17 +33,20 @@ def main():
     kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(kind, 197e12)
     rows = []
-    for batch, remat, ce in CONFIGS:
+    for batch, remat, ce, accum in CONFIGS:
         flops = model_flops_per_step(cfg, batch, 512)
         try:
-            dt = bench_one(cfg, "bf16", batch, remat=remat, ce_chunks=ce)
+            dt = bench_one(cfg, "bf16", batch, remat=remat, ce_chunks=ce,
+                           grad_accum=accum)
         except Exception as e:  # OOM on the 16 GB chip is expected for some
             print(json.dumps({"batch": batch, "remat": str(remat),
-                              "ce_chunks": ce, "error": str(e)[:200]}),
+                              "ce_chunks": ce, "grad_accum": accum,
+                              "error": str(e)[:200]}),
                   flush=True)
             continue
         row = {
             "batch": batch, "remat": str(remat), "ce_chunks": ce,
+            "grad_accum": accum,
             "step_s": round(dt, 4),
             "tokens_per_s": round(batch * 512 / dt, 1),
             "mfu": round(flops / dt / peak, 4),
