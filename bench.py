@@ -5,40 +5,39 @@ The production question the reference's serving eval asks (vLLM FP8 vs FP16,
 memory budget. FP8 halves weight + KV bytes, so at the same footprint it
 serves twice the batch — that capacity is where FP8 wins on v5e, whose MXU
 has no native fp8 (dequant is VPU software, so per-step latency alone does
-not improve; on v6e-class parts with native fp8 the latency term wins too).
+not improve; on fp8-MXU parts the native route in quant/dot.py applies).
 
 Measured v5e trade-off (docs/PERF_NOTES.md): fp8 *weights* halve the model
 footprint, freeing HBM for ~5x the decode batch at the bf16 config's
 footprint; the fp8 *KV cache* hurts on v5e (every cache byte pays the
 software dequant each step), so the winning config is fp8 weights + bf16 KV.
-Measured: 2.0x bf16 tokens/s at equal HBM (1385 -> 2790 tok/s, B=8 -> B=44).
 
-Model: Llama-3.2-1B architecture, random weights (values don't affect
-throughput), steady-state decode via an on-device lax.scan loop (single
-dispatch — per-step host dispatch over the axon tunnel is noisy).
+Architecture (round-3): every leg runs in its OWN child process. Round-2
+lesson: the 8B leg (the BASELINE.json headline model) died with
+RESOURCE_EXHAUSTED because earlier legs in the same process fragmented the
+HBM heap; a child process tears the PJRT client (and all device memory)
+down completely between legs. The parent orchestrates legs under a
+wall-clock budget, merges each leg's JSON into a cumulative result, and
+re-prints the superset line after every leg — the driver parses the LAST
+JSON line, and a kill at any point leaves the best-so-far evidence.
 
-Prints ONE JSON line:
+Leg order: 1b (the headline ratio — printed first so a driver timeout still
+captures the metric), 8b (the BASELINE.json model, fresh process), 3b
+bf16+fp8 (the paper's headline geometry, Llama-3.2-3B — the only model that
+fits the chip in BOTH precisions, so the only same-chip paper-scale A/B),
+int8 / int8-KV (the v5e-native 1-byte formats), MLA (compressed-latent
+capacity config).
+
+Prints ONE JSON line (repeatedly, as a growing superset):
   {"metric": "fp8_decode_throughput_vs_bf16_equal_hbm_llama1b",
    "value": <x>, "unit": "x", "vs_baseline": <x / 2.0>, ...extras}
 """
 import functools
 import json
 import os
-import signal
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-
-from llm_fp8_tpu.models import (
-    get_config,
-    init_params,
-    quantize_params,
-    init_kv_cache,
-)
-from llm_fp8_tpu.models.llama import forward
-from llm_fp8_tpu.quant import LAYERWISE
 
 BATCH_BF16 = 8
 # Equal-HBM fp8 config: weights 1.24 GB (vs 2.47) frees ~1.2 GB for cache ->
@@ -47,27 +46,70 @@ BATCH_FP8 = 44
 # int8 KV halves the per-seq cache (16.75 MB at cache 1024) -> batch ~88 at
 # the same footprint (88 x 16.75 MB + 1.24 GB ~= 2.71 GB).
 BATCH_INT8KV = 88
+# 3B equal-HBM: bf16 weights 6.43 GB + 8 x 117 MB cache = 7.4 GB; fp8
+# weights 3.2 GB leave the same envelope seating ~36 sequences.
+BATCH_3B_BF16 = 8
+BATCH_3B_FP8 = 36
+# int8 weights (1.22 GB) + the 10 KiB/token latent cache seat batch 120
+# within the bf16@8 GQA footprint (measured 11.6x bf16 tokens/s).
+BATCH_MLA_INT8 = 120
 CTX = 512  # cache fill at steady state
 CACHE_LEN = 1024
 ITERS = 128  # enough for a stable ratio; keeps total wall time under budget
 
-# Wall-clock budget (s) for the whole script: the headline 1B JSON line is
-# printed the moment the 1B numbers exist; the optional 8B bench runs only if
-# enough budget remains (round-1 lesson: a driver timeout before the final
-# print yields NO captured evidence at all — BENCH_r01 rc=124).
+# Wall-clock budget (s) for the whole script (round-1 lesson: a driver
+# timeout before the final print yields NO captured evidence — rc=124).
 BUDGET_S = float(os.environ.get("LLM_FP8_BENCH_BUDGET_S", "900"))
-EIGHT_B_COST_S = 300.0  # conservative estimate: fake-param gen + compile + runs
 _T0 = time.monotonic()
+
+# Persistent compilation cache: children (and later driver runs) reuse
+# compiled executables instead of paying 20-40s per jit each.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/llm_fp8_jax_cache")
 
 
 def _remaining():
     return BUDGET_S - (time.monotonic() - _T0)
 
 
-def make_decode_loop(cfg, attn_impl, n_steps):
-    """N decode steps as ONE on-device lax.scan: a single dispatch, so the
-    wall time is honest device time (per-step host dispatch over the axon
-    remote tunnel is noisy and can overlap asynchronously)."""
+# --------------------------------------------------------------------------
+# Measurement primitives (used inside leg child processes)
+# --------------------------------------------------------------------------
+
+def _sync(x):
+    """True device sync: fetch one element. Over the axon remote tunnel,
+    block_until_ready can return before execution completes on a cold
+    pipeline; a host fetch cannot lie."""
+    import numpy as np
+    import jax
+
+    jax.block_until_ready(x)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.reshape(-1)[:1])
+
+
+def _time_loop(run):
+    """Warmup (compile + one full loop) then median of 3 warm trials."""
+    _sync(run())
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _sync(run())
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[1]
+
+
+def bench_decode(params, cfg, kv_dtype, batch, attn_impl="auto"):
+    """Steady-state decode: N steps as ONE on-device lax.scan (a single
+    dispatch, so the wall time is honest device time — per-step host
+    dispatch over the axon remote tunnel is noisy)."""
+    import jax
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models import init_kv_cache
+    from llm_fp8_tpu.models.llama import forward
+
+    cache = init_kv_cache(cfg, batch, CACHE_LEN, dtype=kv_dtype)
+    lens = jnp.full((batch,), CTX, jnp.int32)
+    toks = jnp.ones((batch, 1), jnp.int32)
 
     @jax.jit
     def loop(params, cache, toks, lens):
@@ -81,37 +123,11 @@ def make_decode_loop(cfg, attn_impl, n_steps):
             return (cache, toks, lens + 1), toks
 
         (cache, toks, lens), out = jax.lax.scan(
-            body, (cache, toks, lens), None, length=n_steps
+            body, (cache, toks, lens), None, length=ITERS
         )
         return out
 
-    return loop
-
-
-def _sync(x):
-    """True device sync: fetch one element. Over the axon remote tunnel,
-    block_until_ready can return before execution completes on a cold
-    pipeline; a host fetch cannot lie."""
-    import numpy as np
-
-    jax.block_until_ready(x)
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    np.asarray(leaf.reshape(-1)[:1])
-
-
-def bench_decode(params, cfg, kv_dtype, batch, attn_impl="auto"):
-    cache = init_kv_cache(cfg, batch, CACHE_LEN, dtype=kv_dtype)
-    lens = jnp.full((batch,), CTX, jnp.int32)
-    toks = jnp.ones((batch, 1), jnp.int32)
-    loop = make_decode_loop(cfg, attn_impl, ITERS)
-    # warmup = compile + one full loop, with a real host fetch as the barrier
-    _sync(loop(params, cache, toks, lens))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _sync(loop(params, cache, toks, lens))
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[1]  # median of 3 warm trials (warmup ran a full loop)
+    dt = _time_loop(lambda: loop(params, cache, toks, lens))
     return batch * ITERS / dt  # tokens/s
 
 
@@ -119,6 +135,8 @@ def bench_decode_arena(params, cfg, kv_dtype, batch):
     """Steady-state decode via the fused arena kernel (the engine fast path
     for quantized KV): lane-major [L, B, Hk, Dh, S] arena, in-VMEM dequant,
     in-kernel quantize+append."""
+    import jax
+    import jax.numpy as jnp
     from llm_fp8_tpu.models.llama import forward_decode_arena
 
     L, Hk, Dh = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
@@ -145,39 +163,15 @@ def bench_decode_arena(params, cfg, kv_dtype, batch):
         )
         return toks
 
-    _sync(loop(params, ka, va, toks, lens))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _sync(loop(params, ka, va, toks, lens))
-        times.append(time.perf_counter() - t0)
-    return batch * ITERS / sorted(times)[1]
-
-
-def _mla_1b_config():
-    """llama-3.2-1b's shape with MLA attention, all layers dense — the
-    equal-HBM capacity comparison subject (scripts/bench_mla.py docstring
-    has the full cache-geometry math)."""
-    from llm_fp8_tpu.models.mla import MLAConfig
-
-    return MLAConfig(
-        name="mla-1b-dense", vocab_size=128256, hidden_size=2048,
-        intermediate_size=8192, num_layers=16, num_heads=16, num_kv_heads=1,
-        head_dim=192, rope_theta=500000.0, tie_word_embeddings=True,
-        q_lora_rank=None, kv_lora_rank=256, qk_nope_head_dim=128,
-        qk_rope_head_dim=64, v_head_dim=128,
-        num_experts=1, num_experts_per_tok=1, n_shared_experts=1,
-        moe_intermediate_size=64, first_k_dense_replace=16,
-    )
-
-
-# int8 weights (1.22 GB) + the 10 KiB/token latent cache seat batch 120
-# within the bf16@8 GQA footprint (measured 11.6x bf16 tokens/s).
-BATCH_MLA_INT8 = 120
+    dt = _time_loop(lambda: loop(params, ka, va, toks, lens))
+    return batch * ITERS / dt
 
 
 def bench_mla_decode(params, cfg, batch):
     """Steady-state absorbed-latent MLA decode (same scan-loop discipline)."""
+    import jax
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models import init_kv_cache
     from llm_fp8_tpu.models.mla import mla_forward
 
     cache = init_kv_cache(cfg, batch, CACHE_LEN, dtype=jnp.bfloat16)
@@ -200,13 +194,22 @@ def bench_mla_decode(params, cfg, batch):
         )
         return toks
 
-    _sync(loop(params, cache, toks, lens))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _sync(loop(params, cache, toks, lens))
-        times.append(time.perf_counter() - t0)
-    return batch * ITERS / sorted(times)[1]
+    dt = _time_loop(lambda: loop(params, cache, toks, lens))
+    return batch * ITERS / dt
+
+
+def _ladder(fn, batches, label):
+    """Run fn(batch) down a batch ladder, falling back on RESOURCE_EXHAUSTED
+    (the chip is time-shared: a co-tenant can hold HBM when a leg runs)."""
+    for b in batches:
+        try:
+            return fn(b), b
+        except Exception as e:  # noqa: BLE001
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            print(f"{label} OOM at batch {b}, retrying smaller",
+                  file=sys.stderr)
+    raise RuntimeError(f"{label} OOM at every batch tried {batches}")
 
 
 def _fake_quantized_params(cfg):
@@ -214,24 +217,27 @@ def _fake_quantized_params(cfg):
     intermediate of init+quantize would transiently need 2 bytes/param
     (16 GB for 8B), which itself OOMs the chip. Random fp8 bit patterns
     (NaN encodings excluded) are throughput-equivalent to real weights."""
+    import jax
+    import jax.numpy as jnp
     from llm_fp8_tpu.quant import QTensor, E4M3
 
     key = iter(jax.random.split(jax.random.PRNGKey(0), 16))
     D, I, V, L = (cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size,
                   cfg.num_layers)
 
-    @functools.partial(jax.jit, donate_argnums=(0,),
-                       static_argnames=())
-    def _bits_to_fp8(bits):
+    @functools.partial(jax.jit, static_argnames=("shape",))
+    def _random_fp8(k, shape):
+        # One fused program: RNG bits -> clear sign -> squash NaN (0x7f) ->
+        # bitcast. XLA fuses the chain, so the only materialized buffer is
+        # the 1-byte/elem output — jax.random.randint outside jit generates
+        # 4-byte words first (a 15 GB transient for 8B's gate_up leaf, the
+        # round-2 driver OOM).
+        bits = jax.random.bits(k, shape, dtype=jnp.uint8) & jnp.uint8(0x7F)
+        bits = jnp.where(bits == jnp.uint8(0x7F), jnp.uint8(0), bits)
         return jax.lax.bitcast_convert_type(bits, jnp.float8_e4m3fn)
 
     def qleaf(k, shape):
-        # uint8 payloads in [0, 120): positive e4m3 normals, no NaN (0x7f).
-        # Donated bitcast: the uint8 buffer is reused in place — an 8B-scale
-        # leaf (3.8 GB) would otherwise transiently double.
-        bits = jax.random.randint(k, shape, 0, 120, dtype=jnp.uint8)
-        qv = _bits_to_fp8(bits)
-        del bits
+        qv = _random_fp8(k, shape)
         # Per-channel scale [L, 1, N] matching quantize_params' stacked layout
         # (leading L must align with the other scan leaves).
         scale = jnp.full((shape[0], 1, shape[-1]), 1e-2, jnp.float32)
@@ -260,43 +266,213 @@ def _fake_quantized_params(cfg):
     return params
 
 
-def bench_8b_fp8():
+def _mla_1b_config():
+    """llama-3.2-1b's shape with MLA attention, all layers dense — the
+    equal-HBM capacity comparison subject (scripts/bench_mla.py docstring
+    has the full cache-geometry math)."""
+    from llm_fp8_tpu.models.mla import MLAConfig
+
+    return MLAConfig(
+        name="mla-1b-dense", vocab_size=128256, hidden_size=2048,
+        intermediate_size=8192, num_layers=16, num_heads=16, num_kv_heads=1,
+        head_dim=192, rope_theta=500000.0, tie_word_embeddings=True,
+        q_lora_rank=None, kv_lora_rank=256, qk_nope_head_dim=128,
+        qk_rope_head_dim=64, v_head_dim=128,
+        num_experts=1, num_experts_per_tok=1, n_shared_experts=1,
+        moe_intermediate_size=64, first_k_dense_replace=16,
+    )
+
+
+# --------------------------------------------------------------------------
+# Legs — each runs in its own child process (fresh PJRT client, fresh HBM)
+# --------------------------------------------------------------------------
+
+def leg_1b():
+    """Headline ratio: 1B bf16 @8 vs LAYERWISE fp8 @44 (equal HBM)."""
+    import jax
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models import get_config, init_params, quantize_params
+    from llm_fp8_tpu.quant import LAYERWISE
+
+    cfg = get_config("llama-3.2-1b")
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    bf16_tps = bench_decode(params, cfg, jnp.bfloat16, BATCH_BF16)
+    out = {"bf16_tokens_per_s": round(bf16_tps, 1), "bf16_batch": BATCH_BF16}
+    # fp8 weights + bf16 KV: fp8 KV would pay software dequant per cache byte
+    # on v5e (measured 0.37x); bf16 KV keeps attention at full speed.
+    qparams = quantize_params(params, LAYERWISE)
+    del params
+    fp8_tps, fp8_batch = _ladder(
+        lambda b: bench_decode(qparams, cfg, jnp.bfloat16, b),
+        (BATCH_FP8, 36, 28), "1b fp8")
+    out["fp8_tokens_per_s"] = round(fp8_tps, 1)
+    out["fp8_batch"] = fp8_batch
+    return out
+
+
+def leg_int8():
+    """int8 weight storage: the v5e-native 1-byte format (hardware
+    int8->bf16 convert vs fp8's VPU-software dequant) — measured the
+    fastest same-batch serving config on this chip (docs/PERF_NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models import get_config, init_params, quantize_params
+    from llm_fp8_tpu.quant import recipe_set_by_name
+
+    cfg = get_config("llama-3.2-1b")
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    q_int8 = quantize_params(params, recipe_set_by_name("int8"))
+    del params
+    tps, batch = _ladder(
+        lambda b: bench_decode(q_int8, cfg, jnp.bfloat16, b),
+        (BATCH_FP8, 36, 28), "1b int8")
+    return {"int8_tokens_per_s": round(tps, 1), "int8_batch": batch}
+
+
+def leg_int8kv():
+    """int8 weights + int8 arena KV: halving KV bytes seats ~2x the batch
+    at the same footprint; the int8->bf16 arena convert is hardware
+    (docs/PERF_NOTES.md "int8 KV cache"). Fused arena decode path."""
+    import jax
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models import get_config, init_params, quantize_params
+    from llm_fp8_tpu.quant import recipe_set_by_name
+
+    cfg = get_config("llama-3.2-1b")
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    q_int8 = quantize_params(params, recipe_set_by_name("int8"))
+    del params
+    tps, batch = _ladder(
+        lambda b: bench_decode_arena(q_int8, cfg, jnp.int8, b),
+        (BATCH_INT8KV, 64, 48), "1b int8-KV")
+    return {"int8kv_tokens_per_s": round(tps, 1), "int8kv_batch": batch}
+
+
+def leg_8b():
     """The BASELINE.json headline: Llama-3.1-8B FP8 decode tokens/s/chip.
 
     bf16 8B weighs 16 GB — it does not fit one v5e chip at all; FP8 is what
-    makes single-chip 8B serving possible (the capacity win). Returns None
-    if even the fp8 model doesn't fit this (time-shared) chip, or if the
-    remaining wall-clock budget runs out (SIGALRM bound).
-    """
-    prev = os.environ.get("LLM_FP8_QDOT")
-    alarm_s = max(1, int(_remaining()))
+    makes single-chip 8B serving possible (the capacity win)."""
+    from llm_fp8_tpu.models import get_config
+    import jax.numpy as jnp
 
-    def _alarm(signum, frame):
-        raise TimeoutError(f"8B bench hit the {alarm_s}s budget alarm")
+    # Fused kernel path: streams fp8 from HBM without a bf16 weight copy
+    # (the XLA path can hoist loop-invariant dequantized weights out of
+    # the decode scan — 14 GB of bf16 for 8B, instant OOM).
+    os.environ["LLM_FP8_QDOT"] = "fused"
+    cfg = get_config("llama-3.1-8b")
 
-    old_handler = signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(alarm_s)
-    try:
-        # Fused kernel path: streams fp8 from HBM without a bf16 weight copy
-        # (the XLA path can hoist loop-invariant dequantized weights out of
-        # the decode scan — 14 GB of bf16 for 8B, instant OOM).
-        os.environ["LLM_FP8_QDOT"] = "fused"
-        cfg = get_config("llama-3.1-8b")
+    def run(b):
+        # Param construction inside the ladder: on a time-shared chip even
+        # the 8 GB fp8 weight build can lose a race with a co-tenant; a
+        # retry after the failed attempt's buffers are freed can succeed.
         qparams = _fake_quantized_params(cfg)
-        # bf16 KV (fp8 KV pays per-byte software dequant on v5e).
-        return bench_decode(qparams, cfg, jnp.bfloat16, 8)
-    except Exception as e:  # noqa: BLE001 — report but keep the JSON line clean
-        print(f"8B bench failed: {type(e).__name__}: {str(e)[:200]}",
-              file=sys.stderr)
-        return None
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old_handler)
-        if prev is None:
-            os.environ.pop("LLM_FP8_QDOT", None)
-        else:
-            os.environ["LLM_FP8_QDOT"] = prev
+        try:
+            # bf16 KV (fp8 KV pays software dequant per cache byte on v5e).
+            return bench_decode(qparams, cfg, jnp.bfloat16, b)
+        finally:
+            del qparams
 
+    # Batch 8 listed twice: the first failure is often transient co-tenant
+    # contention on the time-shared chip, and a retry at the same batch
+    # succeeds once the failed attempt's buffers are freed.
+    tps, batch = _ladder(run, (8, 8, 6, 4), "8b fp8")
+    return {"llama8b_fp8_tokens_per_s": round(tps, 1),
+            "llama8b_fp8_batch": batch,
+            "llama8b_bf16": "OOM (16GB weights > chip HBM)"}
+
+
+def leg_3b_bf16():
+    """Paper-scale geometry (Llama-3.2-3B, conference_101719.tex:258-260):
+    the largest model that fits this chip in BOTH precisions — the only
+    same-chip bf16-vs-fp8 A/B at a published-model size."""
+    import jax
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models import get_config, init_params
+
+    cfg = get_config("llama-3.2-3b")
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    tps, batch = _ladder(
+        lambda b: bench_decode(params, cfg, jnp.bfloat16, b),
+        (BATCH_3B_BF16, 6, 4), "3b bf16")
+    return {"llama3b_bf16_tokens_per_s": round(tps, 1),
+            "llama3b_bf16_batch": batch}
+
+
+def leg_3b_fp8():
+    """3B fp8 at the bf16 leg's HBM envelope (fused fp8 streaming path)."""
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models import get_config
+
+    os.environ["LLM_FP8_QDOT"] = "fused"
+    cfg = get_config("llama-3.2-3b")
+
+    def run(b):
+        qparams = _fake_quantized_params(cfg)
+        try:
+            return bench_decode(qparams, cfg, jnp.bfloat16, b)
+        finally:
+            del qparams
+
+    tps, batch = _ladder(run, (BATCH_3B_FP8, 28, 20), "3b fp8")
+    return {"llama3b_fp8_tokens_per_s": round(tps, 1),
+            "llama3b_fp8_batch": batch}
+
+
+def leg_mla():
+    """MLA capacity leg: compressed-latent cache + int8 weights at equal
+    HBM (the best measured serving config on this chip — 10.9-11.6x bf16
+    GQA tokens/s)."""
+    import jax
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models.mla import init_mla_params, quantize_mla_params
+    from llm_fp8_tpu.quant import recipe_set_by_name
+
+    mcfg = _mla_1b_config()
+
+    def run(b):
+        # Construction inside the ladder (round-2 failure: the ladder only
+        # covered the decode loop, not the 2.4 GB bf16 init + quantize).
+        mparams = quantize_mla_params(
+            init_mla_params(mcfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16),
+            recipe_set_by_name("int8"),
+        )
+        try:
+            return bench_mla_decode(mparams, mcfg, b)
+        finally:
+            del mparams
+
+    tps, batch = _ladder(run, (BATCH_MLA_INT8, 96, 64), "mla int8")
+    return {"mla_int8_tokens_per_s": round(tps, 1), "mla_int8_batch": batch}
+
+
+LEGS = {
+    "1b": leg_1b,
+    "8b": leg_8b,
+    "3b_bf16": leg_3b_bf16,
+    "3b_fp8": leg_3b_fp8,
+    "int8": leg_int8,
+    "int8kv": leg_int8kv,
+    "mla": leg_mla,
+}
+
+# (name, wall-clock estimate s) in run order. The 1b headline goes first so
+# a driver timeout still captures the metric; 8b immediately after (the one
+# number BASELINE.json names); then the paper-scale 3B pair; then extras.
+LEG_PLAN = [
+    ("1b", 240),
+    ("8b", 300),
+    ("3b_bf16", 180),
+    ("3b_fp8", 200),
+    ("int8", 120),
+    ("int8kv", 140),
+    ("mla", 160),
+]
+
+
+# --------------------------------------------------------------------------
+# Parent orchestration
+# --------------------------------------------------------------------------
 
 def _probe_device_or_die(timeout_s: float = 300.0):
     """Fail fast (with evidence) when the TPU tunnel is down.
@@ -308,8 +484,6 @@ def _probe_device_or_die(timeout_s: float = 300.0):
     diagnostic JSON line (so the driver captures *something* parseable) and
     exit nonzero.
     """
-    import subprocess
-
     try:
         out = subprocess.run(
             [sys.executable, "-c",
@@ -323,7 +497,7 @@ def _probe_device_or_die(timeout_s: float = 300.0):
             # prevent — fail it explicitly (override for local CPU smoke
             # runs with LLM_FP8_BENCH_ALLOW_CPU=1).
             if backend != "cpu" or os.environ.get("LLM_FP8_BENCH_ALLOW_CPU"):
-                return
+                return backend
             err = "backend initialized as 'cpu' (TPU plugin not selected?)"
         else:
             err = (f"device init rc={out.returncode}: "
@@ -337,129 +511,84 @@ def _probe_device_or_die(timeout_s: float = 300.0):
     sys.exit(3)
 
 
+def _run_leg_child(name, timeout_s):
+    """Spawn `python bench.py --leg NAME`, return its parsed JSON dict
+    (last stdout line that parses), or None on failure/timeout."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", name],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"leg {name}: timed out after {timeout_s:.0f}s",
+              file=sys.stderr)
+        return None
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    tail = out.stderr.strip()[-300:]
+    print(f"leg {name}: rc={out.returncode}, no JSON; stderr tail: {tail}",
+          file=sys.stderr)
+    return None
+
+
+def _derive(result):
+    """Compute ratio fields from whatever raw tokens/s fields exist."""
+    bf16 = result.get("bf16_tokens_per_s")
+    if not bf16:
+        return
+    ratios = [
+        ("fp8_tokens_per_s", None),  # headline: value/vs_baseline keys
+        ("int8_tokens_per_s", "int8_decode_x"),
+        ("int8kv_tokens_per_s", "int8kv_decode_x"),
+        ("mla_int8_tokens_per_s", "mla_int8_decode_x"),
+    ]
+    for src, dst in ratios:
+        if result.get(src):
+            x = round(result[src] / bf16, 3)
+            if dst is None:
+                result["value"] = x
+                result["vs_baseline"] = round(x / 2.0, 3)
+            else:
+                result[dst] = x
+    b3, f3 = (result.get("llama3b_bf16_tokens_per_s"),
+              result.get("llama3b_fp8_tokens_per_s"))
+    if b3 and f3:
+        result["llama3b_fp8_vs_bf16_x"] = round(f3 / b3, 3)
+
+
 def main():
-    _probe_device_or_die()
-    cfg = get_config("llama-3.2-1b")
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    qparams = quantize_params(params, LAYERWISE)
-
-    bf16_tps = bench_decode(params, cfg, jnp.bfloat16, BATCH_BF16)
-    # fp8 weights + bf16 KV: fp8 KV would pay software dequant per cache byte
-    # on v5e (measured 0.37x); bf16 KV keeps attention at full speed.
-    fp8_tps = bench_decode(qparams, cfg, jnp.bfloat16, BATCH_FP8)
-    del qparams
-
-    speedup = fp8_tps / bf16_tps
+    backend = _probe_device_or_die()
     result = {
         "metric": "fp8_decode_throughput_vs_bf16_equal_hbm_llama1b",
-        "value": round(speedup, 3),
-        "unit": "x",
-        "vs_baseline": round(speedup / 2.0, 3),
-        "fp8_tokens_per_s": round(fp8_tps, 1),
-        "bf16_tokens_per_s": round(bf16_tps, 1),
-        "fp8_batch": BATCH_FP8,
+        "value": None, "unit": "x", "vs_baseline": None,
         "fp8_config": "fp8 weights + bf16 KV (equal-HBM batch)",
-        "bf16_batch": BATCH_BF16,
-        "context": CTX,
-        "llama8b_bf16": "OOM (16GB weights > chip HBM)",
-        "backend": jax.default_backend(),
+        "context": CTX, "backend": backend,
     }
-    # Headline evidence FIRST: if the 8B leg dies or the driver kills us
-    # later, this line is already on stdout.
-    print(json.dumps(result), flush=True)
-
-    # int8 weight storage: the v5e-native 1-byte format (hardware int8->bf16
-    # convert vs fp8's VPU-software dequant) — measured the fastest serving
-    # config on this chip (docs/PERF_NOTES.md int8 table). Cheap leg (~30 s):
-    # one more compile + loop at the same batch.
-    q_int8 = None
-    if _remaining() > 120:
-        try:
-            from llm_fp8_tpu.quant import recipe_set_by_name
-
-            q_int8 = quantize_params(params, recipe_set_by_name("int8"))
-            del params
-            int8_tps = bench_decode(q_int8, cfg, jnp.bfloat16, BATCH_FP8)
-            result["int8_tokens_per_s"] = round(int8_tps, 1)
-            result["int8_decode_x"] = round(int8_tps / bf16_tps, 3)
+    for name, est in LEG_PLAN:
+        if _remaining() < min(est, 120):
+            print(f"skipping leg {name}: {_remaining():.0f}s left "
+                  f"(< {est}s estimate)", file=sys.stderr)
+            continue
+        leg_out = _run_leg_child(name, timeout_s=max(120, _remaining() - 15))
+        if leg_out:
+            result.update(leg_out)
+            _derive(result)
+            # Superset line after every leg: the driver parses the last
+            # JSON line, and a kill at any point keeps prior evidence.
             print(json.dumps(result), flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"int8 leg failed: {type(e).__name__}: {str(e)[:200]}",
-                  file=sys.stderr)
-
-    # int8 weights + int8 arena KV: halving KV bytes seats ~2x the batch at
-    # the same footprint, and the int8->bf16 arena convert is hardware
-    # (docs/PERF_NOTES.md "int8 KV cache"). Fused arena decode path.
-    if q_int8 is not None and _remaining() > 150:
-        try:
-            int8kv_tps = bench_decode_arena(
-                q_int8, cfg, jnp.int8, BATCH_INT8KV
-            )
-            result["int8kv_tokens_per_s"] = round(int8kv_tps, 1)
-            result["int8kv_batch"] = BATCH_INT8KV
-            result["int8kv_decode_x"] = round(int8kv_tps / bf16_tps, 3)
-            print(json.dumps(result), flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"int8-KV leg failed: {type(e).__name__}: {str(e)[:200]}",
-                  file=sys.stderr)
-        del q_int8
-
-    # 8B leg before the MLA leg: it is the tightest HBM fit (≈11 GB peak
-    # during fake-param construction) and the most fragmentation-sensitive,
-    # so it runs while the heap is cleanest.
-    if _remaining() > EIGHT_B_COST_S:
-        tps_8b = bench_8b_fp8()
-        if tps_8b:
-            # Superset line: same metric/value, 8B field added (the driver
-            # parses the last JSON line; both carry the headline number).
-            result["llama8b_fp8_tokens_per_s"] = round(tps_8b, 1)
-            print(json.dumps(result), flush=True)
-    else:
-        print(
-            f"skipping 8B bench: {_remaining():.0f}s budget left "
-            f"(< {EIGHT_B_COST_S:.0f}s estimate)",
-            file=sys.stderr,
-        )
-
-    # MLA capacity leg: compressed-latent cache + int8 weights at equal HBM
-    # (the best measured serving config on this chip — 10.9-11.6x bf16 GQA).
-    if _remaining() > 150:
-        try:
-            from llm_fp8_tpu.models.mla import (
-                init_mla_params, quantize_mla_params,
-            )
-            from llm_fp8_tpu.quant import recipe_set_by_name
-
-            mcfg = _mla_1b_config()
-            mparams = quantize_mla_params(
-                init_mla_params(mcfg, jax.random.PRNGKey(1),
-                                dtype=jnp.bfloat16),
-                recipe_set_by_name("int8"),
-            )
-            # Batch ladder: the chip is time-shared, so a co-tenant can hold
-            # HBM when this leg runs — fall back to smaller equal-ratio
-            # batches rather than losing the leg to RESOURCE_EXHAUSTED.
-            mla_tps = mla_batch = None
-            for b in (BATCH_MLA_INT8, 96, 64):
-                try:
-                    mla_tps, mla_batch = bench_mla_decode(mparams, mcfg, b), b
-                    break
-                except Exception as e:  # noqa: BLE001
-                    if "RESOURCE_EXHAUSTED" not in str(e):
-                        raise
-                    print(f"MLA leg OOM at batch {b}, retrying smaller",
-                          file=sys.stderr)
-            del mparams
-            if mla_tps is None:
-                raise RuntimeError("MLA leg OOM at every batch tried")
-            result["mla_int8_tokens_per_s"] = round(mla_tps, 1)
-            result["mla_int8_batch"] = mla_batch
-            result["mla_int8_decode_x"] = round(mla_tps / bf16_tps, 3)
-            print(json.dumps(result), flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"MLA leg failed: {type(e).__name__}: {str(e)[:200]}",
-                  file=sys.stderr)
+    if result["value"] is None:
+        # Make sure at least one parseable line exists even if the 1b leg
+        # died — the driver must never see an empty stdout again.
+        print(json.dumps(result), flush=True)
+        sys.exit(4)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
+        out = LEGS[sys.argv[2]]()
+        print(json.dumps(out), flush=True)
+    else:
+        main()

@@ -89,6 +89,11 @@ def bench_one(cfg, recipes, batch, remat=True, seq=SEQ, ce_chunks=0,
     so its cost per token shrinks accordingly. The timed scan still runs one
     microbatch per iteration; MFU uses the same per-microbatch model FLOPs.
     """
+    # The per-step time is (median scan time) / STEPS, so the scan must
+    # cover whole accumulation cycles — otherwise the fraction of AdamW
+    # applies timed depends on the MultiSteps phase carried in from warmup.
+    assert STEPS % grad_accum == 0, (
+        f"grad_accum={grad_accum} must divide STEPS={STEPS}")
     trainer = Trainer(
         cfg,
         TrainConfig(

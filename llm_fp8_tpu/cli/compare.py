@@ -159,8 +159,10 @@ def main(argv=None):
                     break
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 state, m = trainer.train_step(state, batch)
-                tracker.track_step(float(m["loss"]),
-                                   grad_norm=float(m["grad_norm"]))
+                tracker.track_step(
+                    float(m["loss"]), grad_norm=float(m["grad_norm"]),
+                    activation_mean=float(m["activation_mean"]),
+                    activation_std=float(m["activation_std"]))
                 steps += 1
                 if steps % 200 == 0:
                     print(f"[{recipes}] step {steps}/{total_steps} "

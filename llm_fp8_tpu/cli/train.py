@@ -223,7 +223,9 @@ def main(argv=None):
                 loss = float(metrics["loss"])
                 timer.step(int(metrics["tokens"]))
                 inst = stability.track_step(
-                    loss, grad_norm=float(metrics["grad_norm"])
+                    loss, grad_norm=float(metrics["grad_norm"]),
+                    activation_mean=float(metrics["activation_mean"]),
+                    activation_std=float(metrics["activation_std"]),
                 )
                 if step % args.log_every == 0:
                     mem = device_memory_stats()

@@ -36,7 +36,7 @@ DEFAULT_BLOCK_K = 128
 
 
 def _auto_block(seq: int) -> int:
-    """Largest tile in {128, 256, 512} that the sequence fills.
+    """Largest tile in {128, 256, 512} whose padding overhead is bounded.
 
     At training shapes the kernel is grid-overhead bound, not FLOPs bound:
     with 128x128 tiles at B8/Hq32/S512/D64 the grid is 4096 programs of
@@ -45,9 +45,18 @@ def _auto_block(seq: int) -> int:
     the grid 16x and quadruple MXU work per program; VMEM stays far under
     budget (scores block [512, 512] f32 = 1 MB). Decode (Sq=1) keeps the
     128 floor so padded rows stay cheap.
+
+    A big tile only wins when the sequence roughly FILLS the padded grid:
+    e.g. Sk=520 under 512-tiles pads to 1024 (2x the K work of 128-tiles'
+    640) — so a candidate is taken only when its padded length is within
+    25% of the 128-tile padded length (1 extra 128-tile of slack per 512).
     """
+    def pad_to(b):
+        return -(-seq // b) * b
+
+    base = pad_to(128)
     for b in (512, 256):
-        if seq >= b:
+        if seq >= b and pad_to(b) <= 1.25 * base:
             return b
     return 128
 # -0.7 * f32_max, not -inf: exp(-inf - (-inf)) would NaN in the online update.

@@ -6,7 +6,10 @@ produced the paper's loss-variance claims (loss variance <0.4 for layer-wise
 FP8 vs ≥0.8 spikes for uniform hybrid, ``paper/conference_101719.tex:293-297``).
 Pure numpy — framework-agnostic, no device work.
 
-Tracked series (10k-cap deques like the reference): loss, grad-norm, lr.
+Tracked series (10k-cap deques like the reference): loss, grad-norm, lr, and
+activation mean/std (the reference feeds ``outputs.hidden_states[-1]`` per
+step, ``train_fp8.py:295-299,459-461`` — here the trainer computes the same
+two scalars over the final-norm hidden states inside the jitted step).
 Report statistics: mean/median/std/CV/IQR/max-deviation/range, exponential-fit
 convergence rate, sign-flip oscillation index, early-vs-late variance
 stability ratio, and a normality test on loss deltas.
@@ -107,6 +110,8 @@ class StabilityTracker:
         self.loss: Deque[float] = collections.deque(maxlen=_CAP)
         self.grad_norm: Deque[float] = collections.deque(maxlen=_CAP)
         self.lr: Deque[float] = collections.deque(maxlen=_CAP)
+        self.activation_mean: Deque[float] = collections.deque(maxlen=_CAP)
+        self.activation_std: Deque[float] = collections.deque(maxlen=_CAP)
         self.non_finite_steps = 0
         self.steps = 0
 
@@ -115,8 +120,16 @@ class StabilityTracker:
         loss: float,
         grad_norm: Optional[float] = None,
         lr: Optional[float] = None,
+        activation_mean: Optional[float] = None,
+        activation_std: Optional[float] = None,
     ) -> Dict[str, float]:
-        """Record one step; returns instantaneous metrics for logging."""
+        """Record one step; returns instantaneous metrics for logging.
+
+        ``activation_mean``/``activation_std`` are the two scalars the
+        reference computes over the last hidden states each step
+        (``train_fp8.py:459-461``); pass NaN (or omit) when the step didn't
+        produce them — non-finite values are dropped from the series.
+        """
         self.steps += 1
         if not math.isfinite(loss):
             self.non_finite_steps += 1
@@ -126,11 +139,19 @@ class StabilityTracker:
             self.grad_norm.append(grad_norm)
         if lr is not None:
             self.lr.append(lr)
+        if activation_mean is not None and math.isfinite(activation_mean):
+            self.activation_mean.append(activation_mean)
+        if activation_std is not None and math.isfinite(activation_std):
+            self.activation_std.append(activation_std)
         out = {"loss": loss}
         if len(self.loss) >= 2:
             out["loss_delta"] = self.loss[-1] - self.loss[-2]
         if grad_norm is not None:
             out["grad_norm"] = grad_norm
+        if activation_mean is not None and math.isfinite(activation_mean):
+            out["activation_mean"] = activation_mean
+        if activation_std is not None and math.isfinite(activation_std):
+            out["activation_std"] = activation_std
         return out
 
     def report(self) -> Dict[str, object]:
@@ -142,6 +163,10 @@ class StabilityTracker:
             "non_finite_steps": self.non_finite_steps,
             "loss_stats": series_stats(loss),
             "grad_norm_stats": series_stats(np.asarray(self.grad_norm)),
+            "activation_mean_stats": series_stats(
+                np.asarray(self.activation_mean)),
+            "activation_std_stats": series_stats(
+                np.asarray(self.activation_std)),
         }
         if loss.size:
             rep["convergence_rate"] = _convergence_rate(loss)

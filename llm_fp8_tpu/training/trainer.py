@@ -26,7 +26,9 @@ import jax.numpy as jnp
 import optax
 
 from llm_fp8_tpu.models.config import ModelConfig
-from llm_fp8_tpu.models.llama import forward, forward_fp8_train, lm_head_weight
+from llm_fp8_tpu.models.llama import (
+    forward, forward_fp8_train, lm_head_weight, _lm_head,
+)
 from llm_fp8_tpu.quant import RecipeSet, recipe_set_by_name
 from .losses import causal_lm_loss, chunked_causal_lm_loss
 from .quant_state import (
@@ -207,6 +209,13 @@ class Trainer:
         # back to the materialized-logits path).
         chunked = self.cfg.ce_chunks > 1 and self._fwd is forward
         router_aux = None
+        # Llama-family forwards always return the final-norm hidden states:
+        # the trainer computes the activation mean/std series on them (the
+        # reference feeds hidden_states[-1] to StabilityExperiment,
+        # train_fp8.py:295-299) and applies the same _lm_head the model
+        # would (bit-identical — both the bf16 and fp8-train forwards route
+        # the vocab projection through the unquantized _lm_head).
+        want_hidden = self._fwd is forward
         if self.recipes.enabled:
             scales = forward_scales(qstate, self.model_cfg)
             logits, amaxes = forward_fp8_train(
@@ -214,7 +223,7 @@ class Trainer:
                 attn_impl=self.attn_impl, unroll=self.cfg.unroll,
                 remat=self.cfg.remat,
                 cp_axis=self.cp_axis, cp_mesh=self.cp_mesh,
-                return_hidden=chunked,
+                return_hidden=want_hidden,
             )
         else:
             kw = dict(
@@ -224,7 +233,7 @@ class Trainer:
             )
             if self._fwd is forward:
                 kw.update(cp_axis=self.cp_axis, cp_mesh=self.cp_mesh,
-                          return_hidden=chunked)
+                          return_hidden=want_hidden)
             # MoE family: thread the router's load-balancing auxiliary loss
             # out of the forward (Switch/Mixtral E·Σf·P; the coefficient is
             # applied below, matching HF's router_aux_loss_coef treatment).
@@ -239,6 +248,15 @@ class Trainer:
             logits = out[0] if isinstance(out, tuple) else out
             router_aux = out[2] if is_moe else None
             amaxes = {}
+        if want_hidden:
+            hidden32 = logits.astype(jnp.float32)  # final-norm hidden states
+            act_stats = (jnp.mean(hidden32), jnp.std(hidden32))
+            if not chunked:
+                logits = _lm_head(params, logits, self.model_cfg)
+        else:
+            # Zoo families don't expose hidden states — no activation series
+            # (the reference likewise skips when hidden_states is absent).
+            act_stats = (jnp.full((), jnp.nan), jnp.full((), jnp.nan))
         if chunked:
             loss, n_tokens = chunked_causal_lm_loss(
                 logits, lm_head_weight(params, self.model_cfg), tokens, mask,
@@ -254,12 +272,12 @@ class Trainer:
             )
         if router_aux is not None:
             loss = loss + self.model_cfg.router_aux_coef * router_aux
-        return loss, (n_tokens, amaxes)
+        return loss, (n_tokens, amaxes, act_stats)
 
     def _train_step_impl(self, state: TrainState, batch):
         sinks = make_sinks(self.model_cfg)
 
-        (loss, (n_tokens, amaxes)), grads = jax.value_and_grad(
+        (loss, (n_tokens, amaxes, act_stats)), grads = jax.value_and_grad(
             self._forward_loss, argnums=(0, 1), has_aux=True
         )(state.params, sinks, batch, state.qstate, state.step)
         pgrads, g_amaxes = grads
@@ -303,6 +321,8 @@ class Trainer:
             "grad_norm": gnorm,
             "tokens": n_tokens,
             "finite": finite.astype(jnp.int32),
+            "activation_mean": act_stats[0],
+            "activation_std": act_stats[1],
         }
         return (
             TrainState(new_params, new_opt, new_qstate, state.step + 1),

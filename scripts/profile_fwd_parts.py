@@ -119,10 +119,13 @@ def main():
     @jax.jit
     def model(tokens, params):
         def body(c, _):
-            lo = forward(params, tokens + c, cfg)  # params passed as arg, not constant
-            return c * 0 + lo[0, 0, 0].astype(jnp.int32) * 0, None
+            # params passed as arg, not constant; the carry keeps a LIVE
+            # float dependency on the output (an integer multiply-by-zero
+            # would be constant-folded and the whole forward DCE'd).
+            lo = forward(params, tokens + c.astype(jnp.int32), cfg)
+            return lo[0, 0, 0].astype(jnp.float32) * 1e-30, None
 
-        c, _ = jax.lax.scan(body, jnp.int32(0), None, length=STEPS)
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=STEPS)
         return c
 
     res = {}

@@ -43,6 +43,7 @@ class TestFlashForward:
             (1, 128, 128, 2, 2, 64),   # MHA, single tile
             (2, 256, 256, 4, 2, 64),   # GQA, multi-tile
             (1, 128, 384, 2, 1, 64),   # MQA, cross lens
+            (1, 512, 512, 2, 2, 64),   # 512-wide tiles (_auto_block default)
         ],
     )
     def test_matches_reference(self, causal, B, Sq, Sk, Hq, Hk, D):
@@ -200,7 +201,10 @@ class TestFlashForward:
     @pytest.mark.parametrize("causal", [True, False])
     @pytest.mark.parametrize(
         "B,S,Hq,Hk,D",
-        [(1, 128, 2, 2, 64), (2, 256, 4, 2, 64), (1, 256, 4, 1, 128)],
+        [(1, 128, 2, 2, 64), (2, 256, 4, 2, 64), (1, 256, 4, 1, 128),
+         # 512x512 tiles: the _auto_block default at training seqlens — the
+         # backward holds several [512, 512] f32 intermediates in VMEM.
+         (1, 512, 2, 2, 64)],
     )
     def test_backward_matches_reference(self, causal, B, S, Hq, Hk, D):
         q, k, v = make_qkv(20, B, S, S, Hq, Hk, D)
@@ -329,3 +333,29 @@ class TestFlashForward:
         for _ in range(3):
             again = flash_attention(q, k, v, causal=True)
             np.testing.assert_array_equal(np.asarray(first), np.asarray(again))
+
+
+class TestAutoBlock:
+    """_auto_block must not pick a tile whose padding dwarfs the work."""
+
+    def test_exact_fills_use_big_tiles(self):
+        from llm_fp8_tpu.kernels.flash_attention import _auto_block
+
+        assert _auto_block(512) == 512
+        assert _auto_block(1024) == 512
+        assert _auto_block(256) == 256
+        assert _auto_block(128) == 128
+        assert _auto_block(1) == 128
+
+    def test_padding_waste_bounded(self):
+        from llm_fp8_tpu.kernels.flash_attention import _auto_block
+
+        # Sk=520: 512-tiles would pad to 1024 (vs 640 at 128) — rejected.
+        assert _auto_block(520) in (128, 256)
+        # Sq=600: 512-tiles pad to 1024 vs 640 — rejected.
+        assert _auto_block(600) in (128, 256)
+        for seq in range(1, 2049, 7):
+            b = _auto_block(seq)
+            pad = -(-seq // b) * b
+            base = -(-seq // 128) * 128
+            assert pad <= 1.25 * base, (seq, b)

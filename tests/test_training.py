@@ -329,6 +329,36 @@ class TestStability:
         tr.track_step(1.0)
         assert tr.report()["non_finite_steps"] == 1
 
+    def test_activation_series(self):
+        # Activation mean/std series (reference train_fp8.py:459-461).
+        tr = StabilityTracker()
+        for i in range(30):
+            tr.track_step(1.0, activation_mean=0.01 * i, activation_std=1.0)
+        tr.track_step(1.0, activation_mean=float("nan"))  # dropped
+        rep = tr.report()
+        assert len(tr.activation_mean) == 30
+        assert rep["activation_mean_stats"]["max"] == pytest.approx(0.29)
+        assert rep["activation_std_stats"]["mean"] == pytest.approx(1.0)
+
+    def test_train_step_emits_activation_stats(self):
+        # The jitted step computes mean/std of the final-norm hidden states
+        # — they must be finite and match a direct forward's hidden stats.
+        from llm_fp8_tpu.models.llama import forward as llama_forward
+
+        trainer = Trainer(CFG, TrainConfig(learning_rate=1e-4))
+        params = init_params(CFG, jax.random.PRNGKey(0))
+        b = batch_of()
+        # Reference stats first: train_step donates (deletes) the state.
+        hidden, _ = llama_forward(
+            params, b["input_ids"], CFG, return_hidden=True)
+        h32 = np.asarray(hidden, np.float32)
+        state = trainer.init_state(params)
+        _, m = trainer.train_step(state, b)
+        am, astd = float(m["activation_mean"]), float(m["activation_std"])
+        assert math.isfinite(am) and math.isfinite(astd) and astd > 0
+        np.testing.assert_allclose(am, h32.mean(), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(astd, h32.std(), rtol=1e-3)
+
 
 class TestAttentionDropout:
     """Training with attention dropout (flash_attn_func's dropout_p —
