@@ -29,7 +29,7 @@ from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention"]
+__all__ = ["flash_attention", "flash_attention_fp8"]
 
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
@@ -69,6 +69,7 @@ def _fwd_kernel(
     kv_lens_ref,  # [B] valid KV length per batch
     seed_ref,  # [1] dropout seed (ignored when dropout_rate == 0)
     alibi_ref,  # [B, Hq] f32 per-head alibi slopes ([1, 1] dummy if unused)
+    descale_ref,  # [3, B, Hk] f32 q/k/v descales ([1, 1, 1] dummy if unused)
     # blocked inputs
     q_ref,  # [1, 1, bq, D]
     k_ref,  # [1, 1, D, bk] — K stored contraction-major (Mosaic bf16 matmul
@@ -97,6 +98,9 @@ def _fwd_kernel(
     has_alibi: bool = False,
     dropout_rate: float = 0.0,
     attention_chunk: Optional[int] = None,
+    groups: int = 1,
+    has_descale: bool = False,
+    fp8_native: bool = False,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -138,8 +142,20 @@ def _fwd_kernel(
     def _body():
         q = q_ref[0, 0]  # [bq, D]
         k = k_ref[0, 0]  # [D, bk]
+        if has_descale and not fp8_native:
+            # Dequant route for fp8 inputs on chips without fp8 MXU: widen
+            # the stored e4m3 operands to bf16 (hardware convert) before the
+            # dot. Same operand VALUES as the native route — the contract
+            # tests assert both routes agree.
+            q, k = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16)
         s = jax.lax.dot(q, k, preferred_element_type=jnp.float32)  # [bq, bk]
         s *= scale
+        if has_descale:
+            # FA3 fp8 semantics (hopper/flash_api.cpp:322-341): q/k stored
+            # quantized; per-(batch, kv-head) descales restore magnitudes
+            # after the QK^T product (exact: scales are per-tensor-slice
+            # constants, so (q·sq)ᵀ(k·sk) == (qᵀk)·sq·sk).
+            s *= descale_ref[0, b, h // groups] * descale_ref[1, b, h // groups]
         if softcap is not None:
             s = softcap * jnp.tanh(s / softcap)
 
@@ -206,9 +222,21 @@ def _fwd_kernel(
             p_v = p
 
         v = v_ref[0, 0]  # [bk, D]
-        pv = jax.lax.dot(
-            p_v.astype(v.dtype), v, preferred_element_type=jnp.float32
-        )
+        if has_descale:
+            # FA3 PV in fp8: P requantizes to e4m3 with scale 1.0 (softmax
+            # weights live in [0, 1], well inside e4m3 range); V's descale
+            # is a per-head constant, deferred to the finalize epilogue.
+            p8 = p_v.astype(jnp.float8_e4m3fn)
+            if fp8_native:
+                pv = jax.lax.dot(p8, v, preferred_element_type=jnp.float32)
+            else:
+                pv = jax.lax.dot(p8.astype(jnp.bfloat16),
+                                 v.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+        else:
+            pv = jax.lax.dot(
+                p_v.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
         # Deferred normalization: accumulate unnormalized, divide at the end.
         acc_ref[...] = acc_ref[...] * alpha + pv
 
@@ -216,7 +244,10 @@ def _fwd_kernel(
     def _finalize():
         l = l_ref[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        o = acc_ref[...] * l_inv
+        if has_descale:
+            o = o * descale_ref[2, b, h // groups]
+        o_ref[0, 0] = o.astype(o_ref.dtype)
         # Log-sum-exp residual for the backward pass (fully-masked rows get
         # -inf; backward turns them into zero gradients).
         m = m_ref[...][:, :1]
@@ -229,9 +260,10 @@ from ._common import dropout_keep_mask, pad_to_multiple as _pad_to  # noqa: E402
 
 def _flash_fwd_call(
     q, k, v, q_offset, kv_lens, q_segment_ids=None, kv_segment_ids=None,
-    seed=None, alibi=None,
+    seed=None, alibi=None, descale=None,
     *, causal, window, softcap, scale, block_q, block_k, interpret,
-    dropout_rate=0.0, attention_chunk=None,
+    dropout_rate=0.0, attention_chunk=None, fp8_native=False,
+    out_dtype=None,
 ):
     """Forward kernel launch; returns (out bshd, lse [B, Hq, Sq_p])."""
     B, Sq, Hq, D = q.shape
@@ -278,6 +310,11 @@ def _flash_fwd_call(
         alibi.astype(jnp.float32) if has_alibi
         else jnp.zeros((1, 1), jnp.float32)
     )
+    has_descale = descale is not None
+    descale_arr = (
+        descale.astype(jnp.float32) if has_descale
+        else jnp.zeros((1, 1, 1), jnp.float32)
+    )
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -292,12 +329,15 @@ def _flash_fwd_call(
         has_alibi=has_alibi,
         dropout_rate=dropout_rate,
         attention_chunk=attention_chunk,
+        groups=groups,
+        has_descale=has_descale,
+        fp8_native=fp8_native,
     )
 
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=grid,
             # Index maps receive the scalar-prefetch refs as trailing args.
             in_specs=[
@@ -330,14 +370,14 @@ def _flash_fwd_call(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Sq_p, D), out_dtype or q.dtype),
             jax.ShapeDtypeStruct((B, Hq, 8, Sq_p), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_offset, kv_lens, seed, alibi_arr, qt, kt, vt, qs8, ks8)
+    )(q_offset, kv_lens, seed, alibi_arr, descale_arr, qt, kt, vt, qs8, ks8)
 
     return out[:, :, :Sq].transpose(0, 2, 1, 3), lse
 
@@ -494,3 +534,79 @@ def flash_attention(
     )
     return _flash(q, k, v, q_offset, kv_lens, q_segment_ids, kv_segment_ids,
                   seed, alibi_slopes, cfg)
+
+
+def flash_attention_fp8(
+    q: jax.Array,  # [B, Sq, Hq, D] float8_e4m3fn
+    k: jax.Array,  # [B, Sk, Hk, D] float8_e4m3fn
+    v: jax.Array,  # [B, Sk, Hk, D] float8_e4m3fn
+    *,
+    q_descale: jax.Array,  # [B, Hk] or [Hk] f32
+    k_descale: jax.Array,
+    v_descale: jax.Array,
+    causal: bool = True,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    scale: Optional[float] = None,
+    q_offset: "int | jax.Array" = 0,
+    kv_lens: Optional[jax.Array] = None,
+    out_dtype=jnp.bfloat16,
+    fp8_native: Optional[bool] = None,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """FP8-*compute* flash attention with FA3 descale semantics.
+
+    The reference's core inference speed mechanism: FA3 executes QK^T and PV
+    with e4m3 operands and applies per-(batch, kv-head) ``q/k/v_descale``
+    factors inside the kernel (``hopper/flash_api.cpp:75,322-341``; descale
+    application ``:1064``; P requantized to e4m3 with scale 1 before PV).
+    This is the TPU equivalent:
+
+    * ``fp8_native=True`` (default on fp8-MXU backends,
+      :func:`llm_fp8_tpu.utils.backend.native_fp8_matmul`): the Pallas dots
+      take the e4m3 refs directly with ``preferred_element_type=f32`` — the
+      MXU multiplies 1-byte operands, halving operand VMEM/HBM traffic.
+    * ``fp8_native=False`` (v5e and older): identical math via a hardware
+      e4m3→bf16 widen before each dot. Same quantized operand values, so
+      the two routes agree to MXU rounding — asserted by the contract tests
+      (tests/test_flash_attention.py::TestFP8Compute).
+
+    Forward-only (the reference's fp8 path is likewise inference-side).
+    Descales broadcast per batch when given as ``[Hk]``.
+    """
+    assert q.dtype == jnp.float8_e4m3fn, q.dtype
+    assert k.dtype == jnp.float8_e4m3fn and v.dtype == jnp.float8_e4m3fn
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if fp8_native is None:
+        from llm_fp8_tpu.utils.backend import native_fp8_matmul
+
+        fp8_native = native_fp8_matmul()
+    B, Sq, Hq, D = q.shape
+    _, Sk, Hk, _ = k.shape
+    if kv_lens is None:
+        kv_lens = jnp.full((B,), Sk, jnp.int32)
+    q_offset = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+
+    def as_bh(d):
+        d = jnp.asarray(d, jnp.float32)
+        if d.ndim == 0:
+            d = d[None]
+        if d.ndim == 1:
+            d = jnp.broadcast_to(d[None, :], (B, Hk))
+        assert d.shape == (B, Hk), d.shape
+        return d
+
+    descale = jnp.stack([as_bh(q_descale), as_bh(k_descale),
+                         as_bh(v_descale)])
+    out, _ = _flash_fwd_call(
+        q, k, v, q_offset, kv_lens, None, None, None, None, descale,
+        causal=causal, window=window, softcap=softcap,
+        scale=scale if scale is not None else D ** -0.5,
+        block_q=block_q or _auto_block(Sq),
+        block_k=block_k or _auto_block(Sk),
+        interpret=interpret, fp8_native=fp8_native, out_dtype=out_dtype,
+    )
+    return out

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
-from .formats import Format
+from .formats import E4M3, Format
 from .qtensor import QTensor, quantize, quantize_mx, compute_scale, MX_BLOCK
 from .recipe import Recipe
 
@@ -60,22 +60,35 @@ def qdot(
     """``x [..., K] @ w [K, N]`` with ``w`` stored quantized.
 
     ``impl``: "fused" (Pallas dequant-matmul kernel — weights stream from HBM
-    as fp8, the bandwidth-optimal serving path), "xla" (jnp composition), or
-    None → fused on TPU, xla elsewhere.
+    as fp8, the bandwidth-optimal serving path), "xla" (jnp composition),
+    "fp8native" (quantize ``x`` just-in-time to e4m3 and run the dot with
+    fp8 operands on the MXU — the cuBLASLt-FP8-GEMM equivalent, only a win
+    where fp8 MXU exists), or None → fp8native on fp8-native backends with
+    fp8 weights, xla elsewhere.
 
     XLA path: per-tensor / per-output-channel scales are applied *after* the
     matmul (mathematically exact, keeps the MXU operand narrow); block (MX)
     scales vary along the contraction axis, so the operand is dequantized
     first and XLA fuses the expand+multiply into the dot's operand read.
     """
+    fp8_weight = (w.qvalue.dtype in _FP8_DTYPES and w.block_size is None
+                  and w.pack_axis is None and _scale_is_post_applicable(w))
     if impl is None:
         import os
 
-        # Default "xla" everywhere for now: on v5e the fused kernel's
+        # Default "xla" on today's chips: on v5e the fused kernel's
         # VPU-software fp8 dequant measures slightly slower end-to-end than
-        # XLA's convert+dot (docs/PERF_NOTES.md); on fp8-native MXUs the
-        # fused kernel becomes the default. Override with LLM_FP8_QDOT.
-        impl = os.environ.get("LLM_FP8_QDOT", "xla")
+        # XLA's convert+dot (docs/PERF_NOTES.md). On fp8-native MXUs the
+        # narrow-operand dot is the default. Override with LLM_FP8_QDOT.
+        default = "fp8native" if (fp8_weight and _native_fp8_enabled()) \
+            else "xla"
+        impl = os.environ.get("LLM_FP8_QDOT", default)
+    if impl == "fp8native" and fp8_weight:
+        # Just-in-time per-channel activation quantize (one VPU amax pass)
+        # feeding an e4m3 x e4m3 -> f32 dot_general; both scales constant
+        # along the contraction, applied after the f32 accumulation.
+        xq = _quantize_channel(x, E4M3, x.ndim - 1, margin=0)
+        return _narrow_dot(xq, w, out_dtype or x.dtype, "fp8")
     if impl == "fused" and w.pack_axis is None:
         from llm_fp8_tpu.kernels.quant_matmul import qdot_fused
 
@@ -235,36 +248,81 @@ def _mx_or_tensor(t: jax.Array, fmt, block_axis: int) -> QTensor:
     return quantize(t, fmt)
 
 
-def _native_int(recipe: Recipe) -> bool:
-    """True when the recipe's dots can run natively on the int8 MXU.
+_FP8_DTYPES = (jnp.float8_e4m3fn, jnp.float8_e5m2)
 
-    v5e's MXU executes int8 x int8 -> int32 at ~2x its bf16 FLOP rate (394
-    TOPS vs 197 TFLOP/s) — the TPU's native narrow-precision compute path,
-    playing the role of the reference hardware's fp8 tensor cores
-    (``paper/conference_101719.tex:247``). Requires integer formats on both
-    passes and scales that are constant along the contraction (tensor/channel
-    granularity), so they post-apply exactly after the int32 accumulation.
+
+def _native_fp8_enabled() -> bool:
+    """fp8-operand ``dot_general`` route gate.
+
+    Default: on when the backend's MXU multiplies fp8 natively
+    (:func:`llm_fp8_tpu.utils.backend.native_fp8_matmul` — v6e-class+; on
+    v5e the dequant-to-bf16 route is strictly faster because fp8 arithmetic
+    would be VPU software). Override with ``LLM_FP8_NATIVE_DOT=1|0`` — read
+    at trace time, like ``LLM_FP8_QDOT``.
     """
-    return (
-        jnp.issubdtype(recipe.fmt_fwd.dtype, jnp.integer)
-        and jnp.issubdtype(recipe.fmt_bwd.dtype, jnp.integer)
-        and recipe.quantize_activations
-        and recipe.granularity in ("tensor", "channel")
-    )
+    import os
+
+    env = os.environ.get("LLM_FP8_NATIVE_DOT")
+    if env is not None:
+        return env == "1"
+    from llm_fp8_tpu.utils.backend import native_fp8_matmul
+
+    return native_fp8_matmul()
 
 
-def _int_dot(aq: QTensor, bq: QTensor, out_dtype) -> jax.Array:
-    """``a [..., K] @ b [K, N]`` on the int8 MXU, scales applied after.
+def _native_mode(recipe: Recipe) -> Optional[str]:
+    """Which narrow-operand MXU route the recipe's dots can take.
+
+    ``"int"``: int8 x int8 -> int32. v5e's MXU executes this at ~2x its bf16
+    FLOP rate (394 TOPS vs 197 TFLOP/s) — the TPU's native narrow-precision
+    compute path, playing the role of the reference hardware's fp8 tensor
+    cores (``paper/conference_101719.tex:247``).
+
+    ``"fp8"``: e4m3/e5m2 x e4m3/e5m2 -> f32 via ``lax.dot_general`` with
+    fp8 operands and ``preferred_element_type=f32`` — the TPU equivalent of
+    the reference's cuBLASLt FP8 GEMM (TE inside ``fp8_autocast``,
+    ``te_llama.py:76-81``), selected only where fp8 MXU exists (see
+    :func:`_native_fp8_enabled`).
+
+    ``None``: the semantics route (quantize -> dequantize -> bf16 dot).
+
+    Both narrow routes require scales constant along the contraction
+    (tensor/channel granularity), so they post-apply exactly after the
+    wide-accumulator dot, and quantized activations on both passes.
+    """
+    if not (recipe.quantize_activations
+            and recipe.granularity in ("tensor", "channel")):
+        return None
+    if (jnp.issubdtype(recipe.fmt_fwd.dtype, jnp.integer)
+            and jnp.issubdtype(recipe.fmt_bwd.dtype, jnp.integer)):
+        return "int"
+    if (recipe.fmt_fwd.dtype in _FP8_DTYPES
+            and recipe.fmt_bwd.dtype in _FP8_DTYPES
+            and _native_fp8_enabled()):
+        return "fp8"
+    return None
+
+
+def _native_int(recipe: Recipe) -> bool:
+    return _native_mode(recipe) == "int"
+
+
+def _acc_dtype(mode: str):
+    return jnp.int32 if mode == "int" else jnp.float32
+
+
+def _narrow_dot(aq: QTensor, bq: QTensor, out_dtype, mode: str) -> jax.Array:
+    """``a [..., K] @ b [K, N]`` with narrow MXU operands, scales after.
 
     Both scales are constant along the contraction (enforced by the callers'
     quantization axes), so ``(a*sa) @ (b*sb) == (a@b) * sa * sb`` exactly —
-    the int32 accumulation makes this *more* precise than the semantics
-    path's dequantize-to-bf16 dot.
+    the wide accumulation (int32 / f32) makes this *more* precise than the
+    semantics path's dequantize-to-bf16 dot.
     """
     acc = jax.lax.dot_general(
         aq.qvalue, bq.qvalue,
         dimension_numbers=(((aq.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=_acc_dtype(mode),
     )
     # aq.scale has a trailing 1 on the contraction axis -> broadcasts over
     # [..., N]; bq.scale is [1, N] (or all-1s) -> flatten to align trailing.
@@ -272,6 +330,10 @@ def _int_dot(aq: QTensor, bq: QTensor, out_dtype) -> jax.Array:
          * aq.scale.astype(jnp.float32)
          * bq.scale.astype(jnp.float32).reshape(-1))
     return y.astype(out_dtype)
+
+
+def _int_dot(aq: QTensor, bq: QTensor, out_dtype) -> jax.Array:
+    return _narrow_dot(aq, bq, out_dtype, "int")
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -296,9 +358,10 @@ def _amax_of(t):
 def _fp8_dot_fwd_impl(x, w, x_scale, w_scale, recipe):
     x_amax, w_amax = _amax_of(x), _amax_of(w)
     wq = _q_fwd(w, recipe, w_scale, contract_axis=0)
-    if _native_int(recipe):
+    mode = _native_mode(recipe)
+    if mode:
         xq = _q_fwd(x, recipe, x_scale, contract_axis=x.ndim - 1)
-        y = _int_dot(xq, wq, x.dtype)
+        y = _narrow_dot(xq, wq, x.dtype, mode)
     elif recipe.quantize_activations:
         xq = _q_fwd(x, recipe, x_scale, contract_axis=x.ndim - 1)
         xv = xq.dequantize(jnp.bfloat16)
@@ -319,10 +382,11 @@ def _fp8_dot_fwd(x, w, x_scale, w_scale, amax_sink, recipe):
         x_res = xq
     else:
         x_res = x
-    if _native_int(recipe):
+    mode = _native_mode(recipe)
+    if mode:
         # Name the quantized residuals so a jax.checkpoint policy can keep
         # them across the remat boundary (models.llama._remat_policy "dots"):
-        # the saved payloads are int8 — HALF the activation memory a bf16
+        # the saved payloads are 1-byte — HALF the activation memory a bf16
         # policy-saved operand would take — and the backward then reuses them
         # instead of re-running the quantize+dot forward.
         x_res = dataclasses.replace(
@@ -335,7 +399,7 @@ def _fp8_dot_fwd(x, w, x_scale, w_scale, amax_sink, recipe):
             qvalue=checkpoint_name(wq.qvalue, "qdot_res"),
             scale=checkpoint_name(wq.scale, "qdot_res"),
         )
-        y = _int_dot(x_res, wq, x.dtype)
+        y = _narrow_dot(x_res, wq, x.dtype, mode)
         y = checkpoint_name(y, "qdot_out")
     else:
         y = jnp.dot(
@@ -358,9 +422,11 @@ def _fp8_dot_bwd(recipe: Recipe, res, cts):
     gy, _ = cts  # cotangent of amaxes is zero/unused
     g_amax = _amax_of(gy)
 
-    if _native_int(recipe):
-        # Both backward GEMMs on the int8 MXU, contracting the *stored* int8
-        # residuals directly — no dequantize, no transpose, no requantize.
+    mode = _native_mode(recipe)
+    if mode:
+        # Both backward GEMMs with narrow MXU operands (int8 or fp8),
+        # contracting the *stored* 1-byte residuals directly — no
+        # dequantize, no transpose, no requantize.
         # The trick is scale folding: the residual's per-channel scale varies
         # along the backward contraction, so it cannot post-apply — but it
         # CAN fold into the gradient elementwise before the gradient is
@@ -368,6 +434,7 @@ def _fp8_dot_bwd(recipe: Recipe, res, cts):
         #   dx[..,k] = Σ_n g[..,n]·(w8[k,n]·s_w[n]) = Σ_n (g·s_w)[..,n]·w8[k,n]
         #   dw[k,n]  = Σ_b (x8[b,k]·s_x[b])·g[b,n] = Σ_b x8[b,k]·(g·s_x)[b,n]
         gy32 = gy.astype(jnp.float32)
+        acc_t = _acc_dtype(mode)
 
         # dx = (g * s_w) @ w8^T, contraction over N with w8 in its stored
         # [K, N] layout (dot_general contracts n<->n; no transpose pass).
@@ -377,7 +444,7 @@ def _fp8_dot_bwd(recipe: Recipe, res, cts):
         acc = jax.lax.dot_general(
             gq_dx.qvalue, wq.qvalue,
             dimension_numbers=(((gq_dx.ndim - 1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
+            preferred_element_type=acc_t,
         )
         dx = (acc.astype(jnp.float32) * gq_dx.scale).astype(x_dtype)
 
@@ -390,7 +457,7 @@ def _fp8_dot_bwd(recipe: Recipe, res, cts):
         acc = jax.lax.dot_general(
             x8, gq_dw.qvalue,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
+            preferred_element_type=acc_t,
         )
         dw = (acc.astype(jnp.float32)
               * gq_dw.scale.astype(jnp.float32).reshape(-1)).astype(w_dtype)

@@ -73,3 +73,62 @@ def pytest_configure(config):
         "exact: assertions check exact semantics; the TPU tolerance floor "
         "must not apply",
     )
+    config.addinivalue_line(
+        "markers",
+        "fast: core-correctness subset (`pytest -m fast` ≈ 3 min on a "
+        "4-core box vs 17 for the full suite) — per-subsystem contracts "
+        "for pre-commit iteration; the full suite stays the merge gate",
+    )
+
+
+# Core subsystems whose tests are individually cheap: numerics, kernels,
+# model forward/decode, training step, serving engine, sharding specs.
+# Excluded whole files are the expensive integration surfaces (ring/CP
+# grad-parity on the 8-device mesh, HF-parity for every zoo family, engine
+# stress tests) — covered by the full run.
+_FAST_FILES = {
+    "test_quant.py", "test_quant_matmul.py", "test_rmsnorm_kernel.py",
+    "test_flash_attention.py", "test_decode_attention.py",
+    "test_decode_arena_kernel.py", "test_split_kv.py", "test_sampling.py",
+    "test_model.py", "test_training.py", "test_serving.py",
+    "test_parallel.py", "test_block_table.py", "test_aux.py",
+    "test_dropout_softcap.py",
+}
+
+# Individually slow tests (>15 s in the durations report) inside fast files.
+_SLOW_TESTS = {
+    "test_llama_logits_fp32",
+    "test_qwen3_qk_norm_logits_fp32",
+    "test_staggered_arrival",
+    "test_hf_export_reloads_in_transformers",
+    "test_data_parallel_multihost_engine_matches",
+    "test_int8_train_dot_parity",
+    "test_matches_single_pass",
+    "test_amax_carriers",
+    "test_sharded_forward_matches_single_device",
+    "test_matches_unchunked",
+    "test_kv_decode_matches_full",
+    "test_decode_with_ragged_lens",
+    "test_qwen_logits_fp32",
+    "test_quantized_sharded_forward",
+    "test_llama_quantize_params_halves_int8_bytes",
+    "test_forward_close_and_grads_flow",
+    "test_attention_chunk_backward",
+    "test_trainer_parity",
+    "test_remat_same_loss_and_grads",
+    "test_grad_accum_equivalent",
+    "test_train_step_emits_activation_stats",
+    "test_concurrent_requests_isolated",
+    "test_tensor_sharded_engine_matches",
+    "test_llama_rope_scaling_parity",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for it in items:
+        fname = it.fspath.basename
+        base = it.name.split("[")[0]
+        if fname in _FAST_FILES and base not in _SLOW_TESTS:
+            it.add_marker(pytest.mark.fast)

@@ -359,3 +359,76 @@ class TestAutoBlock:
             pad = -(-seq // b) * b
             base = -(-seq // 128) * 128
             assert pad <= 1.25 * base, (seq, b)
+
+
+class TestFP8Compute:
+    """FA3-semantics fp8-compute attention (hopper/flash_api.cpp:322-341):
+    e4m3 q/k/v with per-(batch, kv-head) descales, P requantized to e4m3
+    before PV. Contract: the native (fp8-operand dot) and dequant (bf16
+    widen) routes agree; both track the fp32 reference on dequantized
+    operands within fp8-quantization tolerance."""
+
+    @staticmethod
+    def _quantize_per_kvhead(x, Hk):
+        # [B, S, H, D] -> e4m3 values + [B, Hk] descale (H groups over Hk).
+        B, S, H, D = x.shape
+        g = H // Hk
+        xg = np.asarray(x, np.float32).reshape(B, S, Hk, g, D)
+        amax = np.abs(xg).max(axis=(1, 3, 4))  # [B, Hk]
+        descale = amax / 448.0
+        q8 = jnp.asarray(
+            xg / descale[:, None, :, None, None]
+        ).astype(jnp.float8_e4m3fn).reshape(B, S, H, D)
+        return q8, jnp.asarray(descale, jnp.float32)
+
+    def _setup(self, seed, B, Sq, Sk, Hq, Hk, D):
+        from llm_fp8_tpu.kernels.flash_attention import flash_attention_fp8
+
+        q, k, v = make_qkv(seed, B, Sq, Sk, Hq, Hk, D)
+        q8, qd = self._quantize_per_kvhead(q, Hk)
+        k8, kd = self._quantize_per_kvhead(k, Hk)
+        v8, vd = self._quantize_per_kvhead(v, Hk)
+        deq = lambda t8, d, H: (  # noqa: E731
+            t8.astype(jnp.float32).reshape(B, -1, Hk, H // Hk, D)
+            * d[:, None, :, None, None]
+        ).reshape(B, -1, H, D)
+        return (flash_attention_fp8, (q8, k8, v8), (qd, kd, vd),
+                (deq(q8, qd, Hq), deq(k8, kd, Hk), deq(v8, vd, Hk)))
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_matches_dequant_reference(self, causal):
+        fn, (q8, k8, v8), (qd, kd, vd), (qf, kf, vf) = self._setup(
+            40, 2, 128, 256, 4, 2, 64)
+        got = fn(q8, k8, v8, q_descale=qd, k_descale=kd, v_descale=vd,
+                 causal=causal, fp8_native=False)
+        want = attention_ref(qf, kf, vf, causal=causal)
+        # e4m3 P-requantization (3 mantissa bits) bounds the extra error.
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=6e-2, atol=6e-2)
+
+    def test_native_and_dequant_routes_agree(self):
+        # The same-numerics contract: identical quantized operands through
+        # the fp8-operand dot vs the bf16-widen dot.
+        fn, (q8, k8, v8), (qd, kd, vd), _ = self._setup(
+            41, 1, 128, 128, 4, 2, 64)
+        a = fn(q8, k8, v8, q_descale=qd, k_descale=kd, v_descale=vd,
+               fp8_native=True, out_dtype=jnp.float32)
+        b = fn(q8, k8, v8, q_descale=qd, k_descale=kd, v_descale=vd,
+               fp8_native=False, out_dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
+
+    def test_kv_lens_and_decode_offset(self):
+        # Ragged decode shape: 1 query over a 256-cache at offset 200.
+        fn, (q8, k8, v8), (qd, kd, vd), (qf, kf, vf) = self._setup(
+            42, 2, 1, 256, 4, 2, 64)
+        lens = jnp.array([201, 128], jnp.int32)
+        got = fn(q8, k8, v8, q_descale=qd, k_descale=kd, v_descale=vd,
+                 causal=True, q_offset=lens - 1, kv_lens=lens,
+                 fp8_native=False)
+        want = attention_ref(qf, kf, vf, causal=True, q_offset=lens - 1,
+                             kv_lens=lens)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=6e-2, atol=6e-2)

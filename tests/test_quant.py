@@ -582,3 +582,82 @@ class TestFusedQuantizeDispatch:
         for a, b in zip(jax.tree_util.tree_leaves(g_ref),
                         jax.tree_util.tree_leaves(g_fused)):
             close(a, b)
+
+
+class TestNativeFp8Dot:
+    """fp8-operand dot_general route (VERDICT r2 #2): the TPU equivalent of
+    the reference's cuBLASLt FP8 GEMM (TE inside fp8_autocast,
+    te_llama.py:76-81), gated on fp8-MXU backends via
+    utils.backend.native_fp8_matmul and forceable with LLM_FP8_NATIVE_DOT."""
+
+    def test_native_fp8_dots_in_jaxpr(self, monkeypatch):
+        monkeypatch.setenv("LLM_FP8_NATIVE_DOT", "1")
+        x = rand(31, (8, 64), 0.5)
+        w = rand(32, (64, 32), 0.05)
+
+        def f(x, w):
+            y, _ = fp8_dot(x, w, None, None, jnp.zeros(()), DELAYED_HYBRID)
+            return jnp.sum(y)
+
+        fwd = str(jax.make_jaxpr(f)(x, w))
+        assert "f8_e4m3" in fwd and "dot_general" in fwd, (
+            "forward dot is not taking e4m3 operands")
+        bwd = str(jax.make_jaxpr(jax.grad(f, argnums=(0, 1)))(x, w))
+        # dx and dw contract the e5m2 gradient against stored e4m3 residuals.
+        assert "f8_e5m2" in bwd, "backward dots are not taking fp8 operands"
+
+    def test_native_matches_dequant_route(self, monkeypatch):
+        x = rand(33, (16, 128), 0.4)
+        w = rand(34, (128, 64), 0.05)
+
+        def f(x, w):
+            y, _ = fp8_dot(x, w, None, None, jnp.zeros(()), DELAYED_HYBRID)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        monkeypatch.setenv("LLM_FP8_NATIVE_DOT", "1")
+        v_nat = f(x, w)
+        g_nat = jax.grad(f, argnums=(0, 1))(x, w)
+        monkeypatch.setenv("LLM_FP8_NATIVE_DOT", "0")
+        v_deq = f(x, w)
+        g_deq = jax.grad(f, argnums=(0, 1))(x, w)
+        # Forward: same quantized operand values — the native route
+        # accumulates in f32 where the dequant route rounds value*scale to
+        # bf16 first, so they agree to bf16 rounding.
+        np.testing.assert_allclose(float(v_nat), float(v_deq), rtol=5e-3)
+        # Backward: both quantize the gradient to e5m2 (2 mantissa bits)
+        # but at different granularity (the native route folds the weight
+        # scale in and uses a per-channel JIT scale; the tensor-granularity
+        # dequant route uses one scalar) — agreement is bounded by e5m2
+        # quantization, not exact.
+        for a, b in zip(g_nat, g_deq):
+            rel = jnp.linalg.norm(a - b) / jnp.linalg.norm(b)
+            assert rel < 0.1, rel
+
+    def test_qdot_fp8native_matches_xla(self):
+        x = rand(35, (8, 256), 0.5).astype(jnp.bfloat16)
+        w = quantize(rand(36, (256, 64), 0.05), E4M3, axes=(0,))
+        y_native = qdot(x, w, impl="fp8native", out_dtype=jnp.float32)
+        y_xla = qdot(x, w, impl="xla", out_dtype=jnp.float32)
+        # fp8native additionally quantizes x (per-channel e4m3 JIT scale);
+        # the weight-only xla route keeps x in bf16 — bounded activation
+        # quantization error, not equality.
+        rel = jnp.linalg.norm(y_native - y_xla) / jnp.linalg.norm(y_xla)
+        assert rel < 0.03, rel
+        jaxpr = str(jax.make_jaxpr(
+            lambda x: qdot(x, w, impl="fp8native"))(x))
+        assert "f8_e4m3" in jaxpr and "dot_general" in jaxpr
+
+    def test_auto_selection_follows_backend(self, monkeypatch):
+        # With the env forced on, impl=None routes fp8 weights through the
+        # narrow dot; with it off (v5e default), through the xla path.
+        x = rand(37, (4, 64), 0.5).astype(jnp.bfloat16)
+        w = quantize(rand(38, (64, 32), 0.05), E4M3, axes=(0,))
+        monkeypatch.setenv("LLM_FP8_NATIVE_DOT", "1")
+        monkeypatch.delenv("LLM_FP8_QDOT", raising=False)
+        jx = str(jax.make_jaxpr(lambda x: qdot(x, w))(x))
+        # The native route quantizes x TO e4m3 (the xla route never does).
+        assert "new_dtype=float8_e4m3fn" in jx, jx
+        monkeypatch.setenv("LLM_FP8_NATIVE_DOT", "0")
+        jx = str(jax.make_jaxpr(lambda x: qdot(x, w))(x))
+        assert "new_dtype=float8_e4m3fn" not in jx
+        assert "preferred_element_type=float32" in jx
