@@ -59,7 +59,11 @@ ITERS = 128  # enough for a stable ratio; keeps total wall time under budget
 
 # Wall-clock budget (s) for the whole script (round-1 lesson: a driver
 # timeout before the final print yields NO captured evidence — rc=124).
-BUDGET_S = float(os.environ.get("LLM_FP8_BENCH_BUDGET_S", "900"))
+# 900s covers only the first four legs (measured r3: 1b+8b+3b pair ≈ 750s
+# with a warm compile cache); 1380s fits all seven. Safe to raise because a
+# superset JSON line is printed after EVERY leg — a driver kill at any point
+# still leaves the latest evidence on stdout.
+BUDGET_S = float(os.environ.get("LLM_FP8_BENCH_BUDGET_S", "1380"))
 _T0 = time.monotonic()
 
 # Persistent compilation cache: children (and later driver runs) reuse

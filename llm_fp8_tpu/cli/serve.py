@@ -48,6 +48,19 @@ def build_parser():
     p.add_argument("--prompt_len", type=int, default=128)
     p.add_argument("--max_new_tokens", type=int, default=64)
     p.add_argument("--temperature", type=float, default=0.0)
+    # Speculative decoding (the reference's decode_speculative inside the
+    # batching runtime, flash_attn/utils/generation.py:269-565): a draft
+    # model proposes --gamma tokens per slot per step; the target verifies
+    # them in one forward. temperature==0 → committed tokens bit-match
+    # plain greedy serving.
+    p.add_argument("--draft_model", type=str, default=None,
+                   help="Enable speculative decoding with this zoo model as "
+                        "the draft (random-init unless --draft_weights)")
+    p.add_argument("--draft_weights", type=str, default=None)
+    p.add_argument("--gamma", type=int, default=4,
+                   help="Speculative proposal length per round")
+    p.add_argument("--spec_top_k", type=int, default=0)
+    p.add_argument("--spec_top_p", type=float, default=0.0)
     return p
 
 
@@ -99,6 +112,28 @@ def main(argv=None):
                 kv_dtype=kv_dtype,
             ),
         )
+    elif args.draft_model is not None:
+        from llm_fp8_tpu.serving import SpecEngine
+
+        dentry = resolve_model(args.draft_model)
+        if args.draft_weights is not None:
+            from llm_fp8_tpu.models import load_zoo_checkpoint
+
+            dparams = load_zoo_checkpoint(
+                args.draft_model, args.draft_weights, dtype=dtype)
+        else:
+            dparams = dentry.init_fn(dentry.cfg, jax.random.PRNGKey(1),
+                                     dtype=dtype)
+        eng = SpecEngine(
+            params, cfg, dparams, dentry.cfg,
+            EngineConfig(
+                max_slots=args.max_slots, max_seq_len=args.max_seq_len,
+                kv_dtype=kv_dtype,
+            ),
+            gamma=args.gamma, temperature=args.temperature,
+            top_k=args.spec_top_k, top_p=args.spec_top_p,
+            forward_fn=entry.forward_fn, draft_forward_fn=dentry.forward_fn,
+        )
     else:
         eng = Engine(
             params, cfg,
@@ -123,6 +158,15 @@ def main(argv=None):
     new_tokens = sum(len(r.output) for r in done)
     ttfts = sorted(r.ttft for r in done if r.ttft is not None)
     mem = device_memory_stats()
+    spec_stats = {}
+    if args.draft_model is not None and getattr(
+            eng, "accepted_histogram", None):
+        hist = eng.accepted_histogram
+        spec_stats = {
+            "spec_gamma": args.gamma,
+            "spec_mean_accepted": round(float(np.mean(hist)), 3),
+            "spec_tokens_per_round": round(float(np.mean(hist)) + 1, 3),
+        }
     print(json.dumps({
         "requests": len(done),
         "generated_tokens": new_tokens,
@@ -134,6 +178,7 @@ def main(argv=None):
         "peak_memory_gb": round(mem["peak_gb"], 3),
         "precision": args.precision,
         "kv_dtype": jnp.dtype(kv_dtype).name,
+        **spec_stats,
     }))
 
 

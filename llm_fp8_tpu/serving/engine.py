@@ -79,6 +79,11 @@ class EngineConfig:
 class Engine:
     """Single-model engine; params may hold QTensor FP8 weights."""
 
+    # Subclass hook: SpecEngine's verify step feeds (gamma+1)-token blocks,
+    # which the generic KVCache path handles for every family; the fused
+    # arena kernels are single-token decode paths, so it opts out.
+    _use_arena = True
+
     def __init__(
         self,
         params: Dict[str, Any],
@@ -127,7 +132,7 @@ class Engine:
         self._fp8_arena = jnp.dtype(engine_cfg.kv_dtype) in (
             jnp.dtype(jnp.float8_e4m3fn), jnp.dtype(jnp.float8_e5m2),
             jnp.dtype(jnp.int8),
-        ) and self._forward is forward
+        ) and self._forward is forward and type(self)._use_arena
         # int8 KV: per-head scales are auto-calibrated from the first
         # prefill's K/V amaxes (the serving-side analogue of vLLM's offline
         # kv-scale calibration) — int8 is a fixed-point format, so unlike
