@@ -203,6 +203,7 @@ def decode_attention(
     q_offset: int | jax.Array = 0,
     alibi_slopes: Optional[jax.Array] = None,
     attention_chunk: Optional[int] = None,
+    num_splits: int | str = 1,
 ) -> jax.Array:
     """Single-token decode attention, GQA-grouped, XLA-fused.
 
@@ -212,12 +213,29 @@ def decode_attention(
     once with no GQA materialization and lets XLA fuse mask+softmax into the
     two GEMVs — the decode analogue of the reference's
     ``flash_attn_with_kvcache`` fast path (``mha.py:502-541``).
+
+    ``num_splits``: split the KV axis into independent partial attentions
+    merged by LSE combine (the reference's ``num_splits`` decode lever,
+    ``hopper/flash_api.cpp:504``). ``"auto"`` applies
+    :func:`llm_fp8_tpu.ops.split_kv.auto_num_splits` — occupancy-driven,
+    resolving to 1 on single-TensorCore chips (v5e; measured table in
+    docs/PERF_NOTES.md).
     """
     B, Sq, Hq, D = q.shape
     assert Sq == 1, "decode_attention is the Sq==1 fast path"
     _, S, Hk, _ = k.shape
     g = Hq // Hk
     scale = scale if scale is not None else D ** -0.5
+    if num_splits == "auto":
+        from llm_fp8_tpu.ops.split_kv import auto_num_splits
+
+        num_splits = auto_num_splits(B, Hk, S)
+    if num_splits > 1 and S % num_splits == 0:
+        return _decode_attention_split(
+            q, k, v, int(num_splits), scale=scale, kv_lens=kv_lens,
+            window=window, softcap=softcap, q_offset=q_offset,
+            alibi_slopes=alibi_slopes, attention_chunk=attention_chunk,
+        )
 
     qg = (q.astype(jnp.float32) * scale).reshape(B, Hk, g, D)
     s = jnp.einsum(
@@ -256,6 +274,75 @@ def decode_attention(
         preferred_element_type=jnp.float32,
     )
     return o.reshape(B, 1, Hq, D).astype(q.dtype)
+
+
+def _decode_attention_split(
+    q: jax.Array,  # [B, 1, Hq, D]
+    k: jax.Array,  # [B, S, Hk, D]
+    v: jax.Array,
+    num_splits: int,
+    *,
+    scale: float,
+    kv_lens: Optional[jax.Array],
+    window: Optional[int],
+    softcap: Optional[float],
+    q_offset: int | jax.Array,
+    alibi_slopes: Optional[jax.Array],
+    attention_chunk: Optional[int],
+) -> jax.Array:
+    """Decode attention as ``num_splits`` independent KV-chunk partials
+    merged by LSE combine — numerically the same online-softmax merge flash
+    applies across tiles, exposed across chunks so a multi-core chip can
+    schedule them in parallel (``hopper/flash_fwd_combine.cu`` semantics).
+    """
+    from llm_fp8_tpu.ops.split_kv import combine_partials
+
+    B, _, Hq, D = q.shape
+    _, S, Hk, _ = k.shape
+    g = Hq // Hk
+    N, C = num_splits, S // num_splits
+    kc = k.astype(jnp.float32).reshape(B, N, C, Hk, D)
+    vc = v.astype(jnp.float32).reshape(B, N, C, Hk, D)
+    qg = (q.astype(jnp.float32) * scale).reshape(B, Hk, g, D)
+    s = jnp.einsum("bhgd,bnchd->bnhgc", qg, kc,
+                   preferred_element_type=jnp.float32)
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
+    k_pos = (jnp.arange(N, dtype=jnp.int32) * C)[:, None] + jnp.arange(
+        C, dtype=jnp.int32)[None, :]  # [N, C] absolute positions
+    q_pos = jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,))
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32)
+        if slopes.ndim == 1:
+            slopes = jnp.broadcast_to(slopes[None, :], (B, Hq))
+        dist = jnp.abs(q_pos[:, None, None] - k_pos[None])  # [B, N, C]
+        s = s - (
+            slopes.reshape(B, 1, Hk, g, 1)
+            * dist[:, :, None, None, :].astype(jnp.float32)
+        )
+    mask = k_pos[None] <= q_pos[:, None, None]  # [B, N, C]
+    if kv_lens is not None:
+        mask &= k_pos[None] < kv_lens[:, None, None]
+    if window is not None:
+        mask &= k_pos[None] > q_pos[:, None, None] - window
+    if attention_chunk is not None:
+        mask &= k_pos[None] >= (
+            (q_pos[:, None, None] // attention_chunk) * attention_chunk
+        )
+    s = jnp.where(mask[:, :, None, None, :], s, -jnp.inf)
+    m = jnp.max(s, axis=-1)  # [B, N, Hk, g]
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    w = jnp.where(jnp.isfinite(s), jnp.exp(s - m_safe[..., None]), 0.0)
+    denom = jnp.sum(w, axis=-1)  # [B, N, Hk, g]
+    o = jnp.einsum("bnhgc,bnchd->bnhgd", w, vc,
+                   preferred_element_type=jnp.float32)
+    o = o / jnp.where(denom == 0.0, 1.0, denom)[..., None]
+    lse = jnp.where(denom > 0.0, m_safe + jnp.log(jnp.maximum(denom, 1e-37)),
+                    -jnp.inf)
+    # combine_partials expects [N, B, Sq, Hq, D] / [N, B, Sq, Hq].
+    outs = o.transpose(1, 0, 2, 3, 4).reshape(N, B, 1, Hq, D)
+    lses = lse.transpose(1, 0, 2, 3).reshape(N, B, 1, Hq)
+    return combine_partials(outs, lses).astype(q.dtype)
 
 
 def attention(
@@ -340,7 +427,7 @@ def attention(
         return decode_attention(
             q, k, v, scale=scale, kv_lens=kv_lens, window=window,
             softcap=softcap, q_offset=q_offset, alibi_slopes=alibi_slopes,
-            attention_chunk=attention_chunk,
+            attention_chunk=attention_chunk, num_splits="auto",
         )
     if impl == "flash":
         from llm_fp8_tpu.kernels.flash_attention import flash_attention

@@ -17,7 +17,44 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["combine_partials", "split_kv_attention"]
+__all__ = ["auto_num_splits", "combine_partials", "split_kv_attention"]
+
+
+def auto_num_splits(
+    batch: int,
+    kv_heads: int,
+    cache_len: int,
+    *,
+    num_cores: Optional[int] = None,
+    min_chunk: int = 1024,
+    max_splits: int = 8,
+) -> int:
+    """Choose ``num_splits`` for decode attention from occupancy.
+
+    TPU translation of the reference's C++ split heuristic
+    (``csrc/flash_attn/flash_api.cpp`` ``num_splits_heuristic`` /
+    ``hopper/heuristics.h``): split only when the natural work grid
+    (``batch × kv_heads`` independent (b, h) programs) cannot occupy every
+    compute core, and never cut chunks below ``min_chunk`` tokens (the
+    LSE-combine pass costs one extra read+write of the partials; amortizing
+    it needs long chunks — measured table in docs/PERF_NOTES.md).
+
+    On single-TensorCore chips (v5e) this returns 1 for any batch: the
+    Pallas/XLA grid executes sequentially on one core, so intra-chip
+    split-KV adds combine traffic without adding parallelism — measured as
+    a pure loss (docs/PERF_NOTES.md §split-KV). On megacore parts (v4/v5p:
+    2 TensorCores) batch-1 long-cache decode gets 2 splits.
+    """
+    if num_cores is None:
+        try:
+            num_cores = jax.devices()[0].num_cores
+        except Exception:
+            num_cores = 1
+    grid = max(1, batch * kv_heads)
+    if grid >= num_cores or cache_len < 2 * min_chunk:
+        return 1
+    want = -(-num_cores // grid)  # ceil: fill every core
+    return int(min(want, cache_len // min_chunk, max_splits))
 
 
 def combine_partials(

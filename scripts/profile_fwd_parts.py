@@ -18,10 +18,13 @@ time. Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_fwd_p
 """
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
 
 from llm_fp8_tpu.models import get_config, init_params
 from llm_fp8_tpu.models.llama import forward

@@ -19,13 +19,19 @@ Prints one JSON line.
 """
 import argparse
 import json
+import sys
 import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-from llm_fp8_tpu.models import get_config, init_params
+# After jax: a PYTHONPATH=/root/repo env var shadows the axon PJRT plugin's
+# registration — insert the repo root post-import instead (house pattern,
+# scripts/sweep_train.py).
+sys.path.insert(0, "/root/repo")
+
+from llm_fp8_tpu.models import get_config, init_params  # noqa: E402
 from llm_fp8_tpu.training import TrainConfig, Trainer
 from llm_fp8_tpu.training.losses import causal_lm_loss
 
