@@ -127,6 +127,9 @@ def _fwd_kernel(
         # Smallest q position must not have scrolled past the tile's k_max.
         q_min = q_off + qi * block_q
         run = jnp.logical_and(run, k_min + block_k - 1 > q_min - window)
+        # ...nor past the ragged cache end: if even the smallest q's window
+        # starts at/after kv_len, every row of this q tile is empty.
+        run = jnp.logical_and(run, q_min - window + 1 < kv_len)
     if attention_chunk is not None:
         # Tile is dead if it lies entirely outside every row's chunk:
         # left of the first row's chunk start, or right of the last row's
@@ -243,15 +246,23 @@ def _fwd_kernel(
     @pl.when(ki == num_k_tiles - 1)
     def _finalize():
         l = l_ref[...][:, :1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        m = m_ref[...][:, :1]
+        # A row is dead when no live (unmasked) entry ever reached it: either
+        # every tile was skipped (l == 0) or every visited entry was masked
+        # (m never rose above MASK_VALUE — masked scores contribute
+        # exp(MASK_VALUE - MASK_VALUE) = 1 to l, so l alone can't tell).
+        # Reachable through feature conjunctions (e.g. sliding window past a
+        # ragged kv_len: every key in (q-W, q] is ≥ kv_len); must emit
+        # out = 0, lse = -inf like the reference's empty-row wash.
+        dead = jnp.logical_or(l == 0.0, m <= MASK_VALUE * 0.5)
+        l_inv = jnp.where(dead, 0.0, 1.0 / jnp.where(l == 0.0, 1.0, l))
         o = acc_ref[...] * l_inv
         if has_descale:
             o = o * descale_ref[2, b, h // groups]
         o_ref[0, 0] = o.astype(o_ref.dtype)
-        # Log-sum-exp residual for the backward pass (fully-masked rows get
-        # -inf; backward turns them into zero gradients).
-        m = m_ref[...][:, :1]
-        lse = jnp.where(l == 0.0, -jnp.inf, m + jnp.log(l))
+        # Log-sum-exp residual for the backward pass (dead rows get -inf;
+        # backward turns them into zero gradients).
+        lse = jnp.where(dead, -jnp.inf, m + jnp.log(jnp.where(l == 0.0, 1.0, l)))
         lse_ref[0, 0] = jnp.broadcast_to(lse[:, 0][None, :], lse_ref.shape[2:])
 
 

@@ -386,11 +386,11 @@ def attention(
 
         from llm_fp8_tpu.parallel.ring_attention import ring_attention
 
-        if (window is not None or softcap is not None or dropout_p != 0.0
-                or kv_lens is not None or alibi_slopes is not None):
+        if dropout_p != 0.0 or alibi_slopes is not None:
             raise NotImplementedError(
-                "context parallelism supports dense causal/full attention "
-                "(no window/softcap/dropout/alibi/kv_lens)"
+                "context parallelism supports window/softcap/ragged-kv_lens "
+                "attention (Mistral/Gemma families, ragged batches) but not "
+                "dropout or ALiBi"
             )
         assert cp_mesh is not None, "cp_axis requires cp_mesh"
         names = set(cp_mesh.axis_names)
@@ -410,13 +410,24 @@ def attention(
             else None
         )
         spec = P(b_ax or None, cp_axis, h_ax, None)
+        if kv_lens is None:
+            fn = shard_map(
+                partial(ring_attention, axis_name=cp_axis, causal=causal,
+                        scale=scale, window=window, softcap=softcap),
+                mesh=cp_mesh, in_specs=(spec,) * 3, out_specs=spec,
+                check_vma=False,
+            )
+            return fn(q, k, v)
+        # Ragged batch: kv_lens [B] rides sharded over the same batch axes.
+        lens_spec = P(b_ax or None)
         fn = shard_map(
-            partial(ring_attention, axis_name=cp_axis, causal=causal,
-                    scale=scale),
-            mesh=cp_mesh, in_specs=(spec,) * 3, out_specs=spec,
-            check_vma=False,
+            lambda q_, k_, v_, lens_: ring_attention(
+                q_, k_, v_, axis_name=cp_axis, causal=causal, scale=scale,
+                window=window, softcap=softcap, kv_lens=lens_),
+            mesh=cp_mesh, in_specs=(spec, spec, spec, lens_spec),
+            out_specs=spec, check_vma=False,
         )
-        return fn(q, k, v)
+        return fn(q, k, v, jnp.asarray(kv_lens, jnp.int32))
     if impl == "auto":
         if q.shape[1] == 1 and causal and dropout_p == 0.0:
             impl = "decode"

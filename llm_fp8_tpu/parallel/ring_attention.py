@@ -15,6 +15,15 @@ softmax normalizer, each per-chunk call of the flash backward kernels
 simply sum — dQ accumulates locally, dK/dV accumulators ride the ring with
 their chunk and take one final hop home.
 
+Feature surface (round 3): ``window`` (sliding-window attention — Mistral /
+Gemma-2 families), ``softcap`` (Gemma-2 logit caps), and ragged ``kv_lens``
+(absolute per-sequence valid KV lengths — ragged batches) all ride the ring:
+the local kernel already evaluates its masks in *absolute* coordinates via
+the per-chunk relative ``q_offset``, so the window/causal compares are
+correct chunk-by-chunk; ragged lengths localize as
+``clip(kv_lens - src*Sk, 0, Sk)``; window additionally widens the dead-chunk
+skip (a chunk entirely behind every query's window contributes nothing).
+
 Use inside ``shard_map`` with q, k, v sharded along the *sequence* axis:
 
     out = shard_map(
@@ -49,10 +58,10 @@ def _blocks(Sq, Sk):
     return min(128, max(Sq, 8)), min(128, Sk)
 
 
-def _chunk_schedule(step, idx, Sq, Sk, n, causal):
-    """(q_offset scalar, dead flag) for the chunk held at ``step``."""
+def _chunk_schedule(step, idx, Sq, Sk, n, causal, window):
+    """(src chip, q_offset scalar, dead flag) for the chunk at ``step``."""
     src = (idx - step) % n  # which chip's chunk we currently hold
-    # Relative offset so the kernel's causal compare works in local
+    # Relative offset so the kernel's causal/window compares work in local
     # coordinates: q_abs = idx*Sq + i, k_abs = src*Sk + j.
     q_offset = idx * Sq - src * Sk
     if causal:
@@ -60,17 +69,31 @@ def _chunk_schedule(step, idx, Sq, Sk, n, causal):
         # still run the kernel for shape reasons under jit, mask kv_lens=0.
         dead = src * Sk > idx * Sq + Sq - 1
     else:
-        dead = False
-    return q_offset, dead
+        dead = jnp.asarray(False)
+    if window is not None:
+        # Sliding window: every query attends only to k_abs > q_abs - W.
+        # A chunk whose last key is at or behind the *youngest* query's
+        # window edge is entirely dead.
+        dead = dead | (src * Sk + Sk - 1 <= idx * Sq - window)
+    return src, q_offset, dead
 
 
-def _ring_forward(q, k, v, axis_name, causal, scale, interpret):
+def _local_lens(kv_lens, src, Sk, dead, B):
+    """Per-batch valid length of the current chunk in local coordinates."""
+    if kv_lens is None:
+        lens = jnp.full((B,), Sk, jnp.int32)
+    else:
+        lens = jnp.clip(kv_lens - src * Sk, 0, Sk).astype(jnp.int32)
+    return jnp.where(dead, 0, lens)
+
+
+def _ring_forward(q, k, v, kv_lens, axis_name, causal, scale, window,
+                  softcap, interpret):
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
     B, Sq, Hq, D = q.shape
     _, Sk, Hk, _ = k.shape
     block_q, block_k = _blocks(Sq, Sk)
-    kv_lens = jnp.full((B,), Sk, jnp.int32)
 
     # Running combine state (numerically the cross-tile online softmax,
     # applied across chips): m_run = max of partial LSEs, acc = weighted
@@ -83,13 +106,14 @@ def _ring_forward(q, k, v, axis_name, causal, scale, interpret):
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     for step in range(n):
-        q_offset, dead = _chunk_schedule(step, idx, Sq, Sk, n, causal)
-        lens = jnp.where(dead, 0, kv_lens) if causal else kv_lens
+        src, q_offset, dead = _chunk_schedule(
+            step, idx, Sq, Sk, n, causal, window)
+        lens = _local_lens(kv_lens, src, Sk, dead, B)
 
         out_p, lse_p = _flash_fwd_call(
             q, k_blk, v_blk,
             jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,)), lens,
-            causal=causal, window=None, softcap=None, scale=scale,
+            causal=causal, window=window, softcap=softcap, scale=scale,
             block_q=block_q, block_k=block_k,
             interpret=interpret,
         )
@@ -121,25 +145,31 @@ def _ring_forward(q, k, v, axis_name, causal, scale, interpret):
     return out, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _ring_attention(q, k, v, axis_name, causal, scale, interpret):
-    out, _ = _ring_forward(q, k, v, axis_name, causal, scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _ring_attention(q, k, v, kv_lens, axis_name, causal, scale, window,
+                    softcap, interpret):
+    out, _ = _ring_forward(q, k, v, kv_lens, axis_name, causal, scale,
+                           window, softcap, interpret)
     return out
 
 
-def _ring_fwd_rule(q, k, v, axis_name, causal, scale, interpret):
-    out, lse = _ring_forward(q, k, v, axis_name, causal, scale, interpret)
-    return out, (q, k, v, out, lse)
+def _ring_fwd_rule(q, k, v, kv_lens, axis_name, causal, scale, window,
+                   softcap, interpret):
+    out, lse = _ring_forward(q, k, v, kv_lens, axis_name, causal, scale,
+                             window, softcap, interpret)
+    return out, (q, k, v, kv_lens, out, lse)
 
 
-def _ring_bwd_rule(axis_name, causal, scale, interpret, res, do):
-    q, k, v, out, lse = res
+def _ring_bwd_rule(axis_name, causal, scale, window, softcap, interpret,
+                   res, do):
+    import numpy as np
+
+    q, k, v, kv_lens, out, lse = res
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
     B, Sq, Hq, D = q.shape
     _, Sk, Hk, _ = k.shape
     block_q, block_k = _blocks(Sq, Sk)
-    kv_lens = jnp.full((B,), Sk, jnp.int32)
 
     # The bwd kernels take the forward kernel's LSE layout: [B, Hq, 8, Sq_p]
     # (8 identical sublanes, padded to block_q; padded rows contribute ds=0
@@ -154,12 +184,13 @@ def _ring_bwd_rule(axis_name, causal, scale, interpret, res, do):
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     for step in range(n):
-        q_offset, dead = _chunk_schedule(step, idx, Sq, Sk, n, causal)
-        lens = jnp.where(dead, 0, kv_lens) if causal else kv_lens
+        src, q_offset, dead = _chunk_schedule(
+            step, idx, Sq, Sk, n, causal, window)
+        lens = _local_lens(kv_lens, src, Sk, dead, B)
 
         dq_p, dk_p, dv_p = flash_attention_bwd(
             q, k_blk, v_blk, out, lse8, do,
-            causal=causal, window=None, softcap=None, scale=scale,
+            causal=causal, window=window, softcap=softcap, scale=scale,
             q_offset=jnp.broadcast_to(jnp.asarray(q_offset, jnp.int32), (B,)),
             kv_lens=lens, block_q=block_q, block_k=block_k,
             interpret=interpret,
@@ -178,7 +209,10 @@ def _ring_bwd_rule(axis_name, causal, scale, interpret, res, do):
     # c-1 — its accumulated gradient takes one final hop home.
     dk_blk = jax.lax.ppermute(dk_blk, axis_name, perm)
     dv_blk = jax.lax.ppermute(dv_blk, axis_name, perm)
-    return dq.astype(q.dtype), dk_blk.astype(k.dtype), dv_blk.astype(v.dtype)
+    kv_lens_ct = (np.zeros(kv_lens.shape, jax.dtypes.float0)
+                  if kv_lens is not None else None)
+    return (dq.astype(q.dtype), dk_blk.astype(k.dtype),
+            dv_blk.astype(v.dtype), kv_lens_ct)
 
 
 _ring_attention.defvjp(_ring_fwd_rule, _ring_bwd_rule)
@@ -192,15 +226,21 @@ def ring_attention(
     *,
     causal: bool = True,
     scale: Optional[float] = None,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    kv_lens: Optional[jax.Array] = None,  # [B] absolute valid KV lengths
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Context-parallel flash attention over a mesh-axis ring.
 
     Differentiable (ring backward over the flash bwd kernels); use under
     ``jax.grad`` for long-context *training*, or via ``forward(...,
-    cp_axis=...)`` in the model stack.
+    cp_axis=...)`` in the model stack. ``window``/``softcap`` serve the
+    Mistral / Gemma-2 families under CP; ``kv_lens`` serves ragged batches
+    (absolute lengths — each chunk masks its local slice).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scale = scale if scale is not None else q.shape[-1] ** -0.5
-    return _ring_attention(q, k, v, axis_name, causal, scale, interpret)
+    return _ring_attention(q, k, v, kv_lens, axis_name, causal, scale,
+                           window, softcap, interpret)

@@ -20,11 +20,12 @@ from llm_fp8_tpu.models import get_config  # noqa: E402
 
 CONFIGS = [
     # (batch, remat, ce_chunks, grad_accum)
-    (8, "dots", 0, 1),   # round-2 best (43.7% MFU) — same-run anchor
+    (8, "dots", 0, 1),   # round-3 anchor (54.1% MFU after 512-wide tiles)
     (8, "dots", 0, 4),   # amortize the ~34 ms AdamW pass over 4 microbatches
-    (8, "dots", 8, 4),   # + chunked CE frees the 2.1 GB logits
-    (12, "dots", 8, 1),  # bigger batch if ce_chunks frees enough
     (8, "dots", 0, 8),
+    (12, "dots", 8, 1),  # bigger batch if ce_chunks frees enough
+    (16, "dots", 8, 1),
+    (8, "dots", 8, 4),   # + chunked CE frees the 2.1 GB logits
 ]
 
 

@@ -432,3 +432,30 @@ class TestFP8Compute:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=6e-2, atol=6e-2)
+
+
+@pytest.mark.fast
+def test_fully_masked_rows_emit_zero_and_neginf_lse():
+    """Feature-conjunction empty rows (sliding window entirely past a ragged
+    kv_len) must produce out=0 / lse=-inf, not an average over masked keys —
+    the masked scores are a finite MASK_VALUE, so without the dead-row
+    epilogue the row normalizes garbage (caught by the CP ring combine,
+    tests/test_ring_attention.py window+kv_lens)."""
+    rng = np.random.default_rng(11)
+    B, S, Hq, Hk, D = 2, 256, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, S, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hk, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hk, D)), jnp.float32)
+    kv_lens = jnp.array([64, 256], jnp.int32)
+    # Batch 0 rows q >= 64+96-1: window (q-96, q] lies past kv_len 64 → empty.
+    got = flash_attention(q, k, v, causal=True, window=96, kv_lens=kv_lens)
+    want = attention_ref(q, k, v, causal=True, window=96, kv_lens=kv_lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    assert np.all(np.asarray(got)[0, 200:] == 0.0)
+    # Gradients through empty rows are zero, not NaN.
+    g = jax.grad(lambda q, k, v: jnp.sum(flash_attention(
+        q, k, v, causal=True, window=96, kv_lens=kv_lens) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a in g:
+        assert np.isfinite(np.asarray(a)).all()
