@@ -68,16 +68,35 @@ def _kernel(
     softcap: Optional[float],
     has_alibi: bool,
     append: bool,
+    has_rope: bool,
     fmax: Optional[float],
 ):
     if append:
-        (new_k_ref, new_v_ref, k_in_ref, v_in_ref,
-         o_ref, k_out_ref, v_out_ref,
-         k_buf, v_buf, tile_buf, sems, tile_sems) = rest
+        if has_rope:
+            (new_k_ref, new_v_ref, rope_ref, k_in_ref, v_in_ref,
+             o_ref, k_out_ref, v_out_ref,
+             k_buf, v_buf, tile_buf, sems, tile_sems) = rest
+        else:
+            (new_k_ref, new_v_ref, k_in_ref, v_in_ref,
+             o_ref, k_out_ref, v_out_ref,
+             k_buf, v_buf, tile_buf, sems, tile_sems) = rest
     else:
         (k_in_ref, v_in_ref, o_ref,
          k_buf, v_buf, sems) = rest
         k_out_ref, v_out_ref = k_in_ref, v_in_ref
+
+    def _rope(x):
+        # HF rotate-half on the lane (D) axis: x*cos ⊕ rot_half(x)*sin with
+        # cos/sin stored duplicated over both halves ([D] = [cos|cos]) so the
+        # mix is two elementwise FMAs — the in-kernel form of
+        # flash_attn_with_kvcache's fused rotary
+        # (csrc/flash_attn/src/rotary.h; flash_attn_interface.py:1464+).
+        c = rope_ref[0, 0, 0].astype(jnp.float32)  # [D]
+        s = rope_ref[0, 1, 0].astype(jnp.float32)
+        half = x.shape[-1] // 2
+        x1, x2 = x[..., :half], x[..., half:]
+        rot = jnp.concatenate([-x2, x1], axis=-1)
+        return x * c + rot * s
 
     b = pl.program_id(0)
     length = lengths_ref[b]
@@ -113,7 +132,13 @@ def _kernel(
         vscales = jnp.concatenate(
             [jnp.full((1, 1), v_scale_ref[h], jnp.float32) for h in range(Hk)]
         )
-        kq = new_k_ref[0].astype(jnp.float32) / kscales  # [Hk, D]
+        kq = new_k_ref[0].astype(jnp.float32)  # [Hk, D]
+        if has_rope:
+            # Rotate the raw new K before quantization (V carries no rope);
+            # rope is a per-lane linear mix, the per-head scale divide
+            # commutes with it.
+            kq = _rope(kq)
+        kq = kq / kscales
         vq = new_v_ref[0].astype(jnp.float32) / vscales
         if fmax is not None:
             # Saturate before the narrow cast (fp8 overflow would become
@@ -184,8 +209,9 @@ def _kernel(
     # of K is ever materialized.
     q = jnp.stack(
         [
-            (q_ref[0, h].astype(jnp.float32) * (scale * k_scale_ref[h]))
-            .astype(jnp.bfloat16)
+            ((_rope(q_ref[0, h].astype(jnp.float32)) if has_rope
+              else q_ref[0, h].astype(jnp.float32))
+             * (scale * k_scale_ref[h])).astype(jnp.bfloat16)
             for h in range(Hk)
         ]
     )  # [Hk, G8, D]
@@ -276,6 +302,7 @@ def decode_attention_arena(
     *,
     new_k: Optional[jax.Array] = None,  # [B, Hk, D] unquantized new token
     new_v: Optional[jax.Array] = None,
+    rope_cos_sin: Optional[tuple] = None,  # (cos, sin) [B, D/2] f32
     k_scale: jax.Array | float = 1.0,  # scalar or [Hk] per-head descale
     v_scale: jax.Array | float = 1.0,
     scale: Optional[float] = None,
@@ -295,6 +322,13 @@ def decode_attention_arena(
     materializes a dequantized copy of the cache — fp8 K/V stream from HBM
     and convert in VMEM (the ``q/k/v_descale`` path of FA3's kvcache kernel,
     ``hopper/flash_api.cpp:1064``, built TPU-style).
+
+    ``rope_cos_sin``: per-batch (cos, sin) ``[B, D/2]`` for the decode
+    token's position — rotary applied to ``q`` and ``new_k`` *inside* the
+    kernel, mirroring ``flash_attn_with_kvcache``'s fused rotary
+    (``flash_attn_interface.py:1464+``, ``csrc/flash_attn/src/rotary.h``);
+    pass pre-rotated q/new_k and omit this to keep rotary in XLA. Append
+    path only.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -344,9 +378,26 @@ def decode_attention_arena(
         alibi_arr = jnp.zeros((Hk, G8), jnp.float32)
     alibi_spec = pl.BlockSpec((Hk, G8), lambda b, *_: (0, 0))
 
+    has_rope = rope_cos_sin is not None
+    if has_rope:
+        assert append, "in-kernel rotary rides the append path"
+        cos, sin = rope_cos_sin
+        # Duplicated-halves layout ([cos|cos], [sin|sin]) so the kernel's
+        # rotate-half mix is two elementwise FMAs; 8 sublanes for the
+        # (8, 128) min-tile rule (all rows identical).
+        rope = jnp.stack(
+            [jnp.concatenate([cos, cos], -1), jnp.concatenate([sin, sin], -1)],
+            axis=1,
+        ).astype(jnp.float32)  # [B, 2, D]
+        rope = jnp.broadcast_to(rope[:, :, None, :], (B, 2, 8, D))
+        rope_specs = [pl.BlockSpec((1, 2, 8, D), lambda b, *_: (b, 0, 0, 0))]
+        rope_args = [rope]
+    else:
+        rope_specs, rope_args = [], []
+
     kernel = functools.partial(
         _kernel, chunk=chunk, scale=scale, window=window, softcap=softcap,
-        has_alibi=has_alibi, append=append, fmax=fmax,
+        has_alibi=has_alibi, append=append, has_rope=has_rope, fmax=fmax,
     )
 
     arena_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
@@ -368,6 +419,7 @@ def decode_attention_arena(
                     alibi_spec,
                     pl.BlockSpec((1, Hk, D), lambda b, *_: (b, 0, 0)),
                     pl.BlockSpec((1, Hk, D), lambda b, *_: (b, 0, 0)),
+                    *rope_specs,
                     *arena_specs,
                 ],
                 out_specs=(
@@ -387,16 +439,17 @@ def decode_attention_arena(
                 jax.ShapeDtypeStruct(v_arena.shape, v_arena.dtype),
             ),
             # Inputs (scalar prefetch included) are (lengths, layer, ks, vs,
-            # q, alibi, new_k, new_v, k_arena, v_arena): alias the arenas to
-            # outputs 1/2 → the RMW is in-place in HBM.
-            input_output_aliases={8: 1, 9: 2},
+            # q, alibi, new_k, new_v[, rope], k_arena, v_arena): alias the
+            # arenas to outputs 1/2 → the RMW is in-place in HBM.
+            input_output_aliases={8 + len(rope_args): 1,
+                                  9 + len(rope_args): 2},
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
             interpret=interpret,
         )(lengths, layer_idx, k_scale, v_scale, qg, alibi_arr,
           new_k.astype(jnp.bfloat16), new_v.astype(jnp.bfloat16),
-          k_arena, v_arena)
+          *rope_args, k_arena, v_arena)
         o, k_arena, v_arena = out
         return o[:, :, :groups].reshape(B, Hq, D), k_arena, v_arena
 

@@ -785,14 +785,16 @@ def forward_decode_arena(
         if "q_norm" in lp:
             q = rmsnorm(q, lp["q_norm"], cfg.rms_eps)
             kk = rmsnorm(kk, lp["k_norm"], cfg.rms_eps)
-        if not cfg.alibi:
-            q = apply_rope(q, cos, sin)
-            kk = apply_rope(kk, cos, sin)
         vv = vv.reshape(B, 1, Hk, Dh)
 
+        # Rotary fused into the arena kernel (flash_attn_with_kvcache's
+        # in-kernel rotary, flash_attn_interface.py:1464+): q and the new K
+        # rotate in VMEM next to the quantize+append — no pre-rotated
+        # round-trip of the new token through HBM.
         attn, ka, va = decode_attention_arena(
             q[:, 0], ka, va, lens + 1, l,
             new_k=kk[:, 0], new_v=vv[:, 0],
+            rope_cos_sin=(None if cfg.alibi else (cos[:, 0], sin[:, 0])),
             k_scale=k_sc, v_scale=v_sc,
             window=window, softcap=softcap, alibi_slopes=slopes,
         )

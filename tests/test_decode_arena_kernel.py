@@ -339,3 +339,44 @@ def test_forward_decode_arena_matches_kvcache_path():
         np.asarray(logits_a[:, 0]), np.asarray(logits_b[:, 0]),
         rtol=2e-2, atol=2e-2,
     )
+
+
+@pytest.mark.fast
+def test_in_kernel_rotary_matches_pre_rotated():
+    """rope_cos_sin in the kernel ≡ XLA apply_rope before the call — the
+    fused-rotary contract of flash_attn_with_kvcache
+    (flash_attn_interface.py:1464+, csrc/flash_attn/src/rotary.h)."""
+    from llm_fp8_tpu.ops.rotary import apply_rope, rope_cos_sin, rope_frequencies
+
+    B, S, Hk, D = 2, 256, 2, 64
+    Hq = Hk * 2
+    kv_scale = 0.25
+    q, ka, va = make_case(
+        jax.random.PRNGKey(20), B, S, Hq, Hk, D, kv_scale=kv_scale)
+    new_k = jax.random.normal(jax.random.PRNGKey(21), (B, Hk, D), jnp.float32)
+    new_v = jax.random.normal(jax.random.PRNGKey(22), (B, Hk, D), jnp.float32)
+    lens = jnp.asarray([77, 256], jnp.int32)
+    positions = (lens - 1)[:, None]
+    inv_freq = rope_frequencies(D, 500000.0, None)
+    cos, sin = rope_cos_sin(positions, inv_freq, None)  # [B, 1, D/2]
+
+    got, ka_f, va_f = decode_attention_arena(
+        q, ka, va, lens, 0, new_k=new_k, new_v=new_v,
+        rope_cos_sin=(cos[:, 0], sin[:, 0]),
+        k_scale=kv_scale, v_scale=kv_scale, chunk=128,
+    )
+    q_rot = apply_rope(q[:, None], cos, sin)[:, 0]
+    k_rot = apply_rope(new_k[:, None, None].reshape(B, 1, Hk, D), cos, sin)
+    want, ka_w, va_w = decode_attention_arena(
+        q_rot, ka, va, lens, 0, new_k=k_rot[:, 0], new_v=new_v,
+        k_scale=kv_scale, v_scale=kv_scale, chunk=128,
+    )
+    # The fused path rotates in f32 straight into fp8; the reference path
+    # rounds the rotated K through bf16 first — the appended column may
+    # differ by one quantization step. Compare dequantized within that.
+    np.testing.assert_allclose(
+        np.asarray(dequant(ka_f, kv_scale)), np.asarray(dequant(ka_w, kv_scale)),
+        rtol=0.11, atol=0.02)
+    np.testing.assert_array_equal(np.asarray(va_f), np.asarray(va_w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
