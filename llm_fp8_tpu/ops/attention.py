@@ -61,6 +61,7 @@ def _build_mask(
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     attention_chunk: Optional[int] = None,
+    kv_start: Optional[jax.Array] = None,
 ):
     """Boolean mask [B or 1, 1, q_len, k_len], True = attend.
 
@@ -94,6 +95,12 @@ def _build_mask(
     if kv_lens is not None:
         valid = k_pos[None] < kv_lens[:, None, None, None]
         mask = mask & valid[:, 0][:, None]
+    if kv_start is not None:
+        # Left padding in the cache (the reference's ``cache_leftpad``,
+        # flash_attn_interface.py:1464+): keys before each sequence's start
+        # index are dead.
+        alive = k_pos[None] >= kv_start[:, None, None, None]
+        mask = mask & alive[:, 0][:, None]
     if q_segment_ids is not None:
         same = (
             q_segment_ids[:, None, :, None] == kv_segment_ids[:, None, None, :]
@@ -117,6 +124,7 @@ def attention_ref(
     kv_segment_ids: Optional[jax.Array] = None,
     alibi_slopes: Optional[jax.Array] = None,
     attention_chunk: Optional[int] = None,
+    kv_start: Optional[jax.Array] = None,
     dropout_p: float = 0.0,
     dropout_seed: int | jax.Array = 0,
 ) -> jax.Array:
@@ -161,7 +169,8 @@ def attention_ref(
             slopes[:, :, None, None] * dist[:, None].astype(jnp.float32)
         )
     mask = _build_mask(Sq, Sk, causal, window, q_offset, kv_lens, B,
-                       q_segment_ids, kv_segment_ids, attention_chunk)
+                       q_segment_ids, kv_segment_ids, attention_chunk,
+                       kv_start)
     logits = jnp.where(mask, logits, -jnp.inf)
     # Fully-masked rows (can happen with kv_lens=0) must produce zeros, not NaN.
     probs = jax.nn.softmax(logits, axis=-1)
@@ -203,6 +212,7 @@ def decode_attention(
     q_offset: int | jax.Array = 0,
     alibi_slopes: Optional[jax.Array] = None,
     attention_chunk: Optional[int] = None,
+    kv_start: Optional[jax.Array] = None,
     num_splits: int | str = 1,
 ) -> jax.Array:
     """Single-token decode attention, GQA-grouped, XLA-fused.
@@ -235,6 +245,7 @@ def decode_attention(
             q, k, v, int(num_splits), scale=scale, kv_lens=kv_lens,
             window=window, softcap=softcap, q_offset=q_offset,
             alibi_slopes=alibi_slopes, attention_chunk=attention_chunk,
+            kv_start=kv_start,
         )
 
     qg = (q.astype(jnp.float32) * scale).reshape(B, Hk, g, D)
@@ -258,6 +269,10 @@ def decode_attention(
     mask = k_pos[None, :] <= q_pos[:, None]  # causal vs absolute position
     if kv_lens is not None:
         mask &= k_pos[None, :] < kv_lens[:, None]
+    if kv_start is not None:
+        # cache_leftpad semantics (flash_attn_interface.py:1464+): the valid
+        # cache for sequence b starts at kv_start[b].
+        mask &= k_pos[None, :] >= kv_start[:, None]
     if window is not None:
         mask &= k_pos[None, :] > q_pos[:, None] - window
     if attention_chunk is not None:
@@ -289,6 +304,7 @@ def _decode_attention_split(
     q_offset: int | jax.Array,
     alibi_slopes: Optional[jax.Array],
     attention_chunk: Optional[int],
+    kv_start: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Decode attention as ``num_splits`` independent KV-chunk partials
     merged by LSE combine — numerically the same online-softmax merge flash
@@ -323,6 +339,8 @@ def _decode_attention_split(
     mask = k_pos[None] <= q_pos[:, None, None]  # [B, N, C]
     if kv_lens is not None:
         mask &= k_pos[None] < kv_lens[:, None, None]
+    if kv_start is not None:
+        mask &= k_pos[None] >= kv_start[:, None, None]
     if window is not None:
         mask &= k_pos[None] > q_pos[:, None, None] - window
     if attention_chunk is not None:
@@ -358,6 +376,7 @@ def attention(
     kv_lens: Optional[jax.Array] = None,
     alibi_slopes: Optional[jax.Array] = None,
     attention_chunk: Optional[int] = None,
+    kv_start: Optional[jax.Array] = None,
     dropout_p: float = 0.0,
     dropout_seed: int | jax.Array = 0,
     impl: str = "auto",
@@ -438,11 +457,17 @@ def attention(
         return decode_attention(
             q, k, v, scale=scale, kv_lens=kv_lens, window=window,
             softcap=softcap, q_offset=q_offset, alibi_slopes=alibi_slopes,
-            attention_chunk=attention_chunk, num_splits="auto",
+            attention_chunk=attention_chunk, kv_start=kv_start,
+            num_splits="auto",
         )
     if impl == "flash":
         from llm_fp8_tpu.kernels.flash_attention import flash_attention
 
+        if kv_start is not None:
+            raise NotImplementedError(
+                "kv_start (cache_leftpad) is a decode-path feature; the "
+                "prefill/training flash kernel takes right-aligned kv_lens"
+            )
         return flash_attention(
             q, k, v, causal=causal, window=window, softcap=softcap,
             scale=scale, q_offset=q_offset, kv_lens=kv_lens,
@@ -451,7 +476,7 @@ def attention(
         )
     return attention_ref(
         q, k, v, causal=causal, window=window, softcap=softcap,
-        scale=scale, q_offset=q_offset, kv_lens=kv_lens,
+        scale=scale, q_offset=q_offset, kv_lens=kv_lens, kv_start=kv_start,
         alibi_slopes=alibi_slopes, attention_chunk=attention_chunk,
         dropout_p=dropout_p, dropout_seed=dropout_seed,
     )

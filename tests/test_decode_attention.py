@@ -57,3 +57,38 @@ class TestDecodeAttention:
         got = decode_attention(q, k, v, kv_lens=lens, q_offset=lens - 1)
         assert np.all(np.isfinite(np.asarray(got)))
         np.testing.assert_allclose(np.asarray(got)[0], 0.0)
+
+
+def test_kv_start_leftpad_semantics():
+    """cache_leftpad parity (flash_attn_interface.py:1464+ semantics): a
+    left-padded cache with kv_start must equal attention over the compacted
+    (unpadded) cache, in both the decode fast path and its split variant."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    B, S, Hq, Hk, D = 2, 128, 4, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hk, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hk, D)), jnp.float32)
+    starts = jnp.array([16, 48], jnp.int32)
+    lens = jnp.array([100, 128], jnp.int32)
+    got = decode_attention(q, k, v, q_offset=lens - 1, kv_lens=lens,
+                           kv_start=starts)
+    got_split = decode_attention(q, k, v, q_offset=lens - 1, kv_lens=lens,
+                                 kv_start=starts, num_splits=4)
+    # Golden: compact each sequence's [start, len) slice to the front.
+    want = []
+    for b in range(B):
+        s0, s1 = int(starts[b]), int(lens[b])
+        kc = jnp.zeros_like(k[b]).at[: s1 - s0].set(k[b, s0:s1])
+        vc = jnp.zeros_like(v[b]).at[: s1 - s0].set(v[b, s0:s1])
+        want.append(decode_attention(
+            q[b : b + 1], kc[None], vc[None],
+            q_offset=jnp.asarray([s1 - s0 - 1], jnp.int32),
+            kv_lens=jnp.asarray([s1 - s0], jnp.int32),
+        ))
+    want = jnp.concatenate(want, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_split), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
