@@ -59,11 +59,12 @@ ITERS = 128  # enough for a stable ratio; keeps total wall time under budget
 
 # Wall-clock budget (s) for the whole script (round-1 lesson: a driver
 # timeout before the final print yields NO captured evidence — rc=124).
-# 900s covers only the first four legs (measured r3: 1b+8b+3b pair ≈ 750s
-# with a warm compile cache); 1380s fits all seven. Safe to raise because a
-# superset JSON line is printed after EVERY leg — a driver kill at any point
-# still leaves the latest evidence on stdout.
-BUDGET_S = float(os.environ.get("LLM_FP8_BENCH_BUDGET_S", "1380"))
+# Measured r3: the 1b+8b+3b-pair legs take ~1170s over the tunnel even with
+# the persistent compile cache, and the int8 leg alone needs >190s — 1800s
+# fits all seven with margin. Safe to raise because a superset JSON line is
+# printed after EVERY leg — a driver kill at any point still leaves the
+# latest evidence on stdout, priority-ordered (1b headline, 8b, 3b first).
+BUDGET_S = float(os.environ.get("LLM_FP8_BENCH_BUDGET_S", "1800"))
 _T0 = time.monotonic()
 
 # Persistent compilation cache: children (and later driver runs) reuse
@@ -468,9 +469,9 @@ LEG_PLAN = [
     ("8b", 300),
     ("3b_bf16", 180),
     ("3b_fp8", 200),
-    ("int8", 120),
-    ("int8kv", 140),
-    ("mla", 160),
+    ("int8", 210),
+    ("int8kv", 210),
+    ("mla", 210),
 ]
 
 
