@@ -95,6 +95,12 @@ def main(argv=None):
     from llm_fp8_tpu.utils.backend import resolve_kv_dtype
 
     kv_dtype = resolve_kv_dtype(args.kv_dtype)
+    if args.paged and args.draft_model is not None:
+        raise SystemExit(
+            "--paged and --draft_model are mutually exclusive: speculative "
+            "decoding runs on the slot-arena engine (SpecEngine), not the "
+            "paged pool — see docs/PERF_NOTES.md (speculative serving path)"
+        )
     if args.paged:
         from llm_fp8_tpu.serving.paged_engine import PagedEngine, PagedEngineConfig
 

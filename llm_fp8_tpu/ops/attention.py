@@ -240,7 +240,16 @@ def decode_attention(
         from llm_fp8_tpu.ops.split_kv import auto_num_splits
 
         num_splits = auto_num_splits(B, Hk, S)
-    if num_splits > 1 and S % num_splits == 0:
+        if S % num_splits != 0:  # heuristic miss → silent unsplit fallback
+            num_splits = 1
+    elif num_splits > 1:
+        # An explicit integer is a user contract: fail loudly rather than
+        # silently running unsplit (split_kv_attention asserts the same).
+        assert S % num_splits == 0, (
+            f"num_splits={num_splits} must divide the KV length S={S}; "
+            f"pass num_splits='auto' for a divisibility-safe heuristic"
+        )
+    if num_splits > 1:
         return _decode_attention_split(
             q, k, v, int(num_splits), scale=scale, kv_lens=kv_lens,
             window=window, softcap=softcap, q_offset=q_offset,

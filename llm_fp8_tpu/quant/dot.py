@@ -83,6 +83,8 @@ def qdot(
         default = "fp8native" if (fp8_weight and _native_fp8_enabled()) \
             else "xla"
         impl = os.environ.get("LLM_FP8_QDOT", default)
+        if impl == "fp8native" and "LLM_FP8_QDOT" not in os.environ:
+            _warn_fp8native_autoselect()
     if impl == "fp8native" and fp8_weight:
         # Just-in-time per-channel activation quantize (one VPU amax pass)
         # feeding an e4m3 x e4m3 -> f32 dot_general; both scales constant
@@ -249,6 +251,33 @@ def _mx_or_tensor(t: jax.Array, fmt, block_axis: int) -> QTensor:
 
 
 _FP8_DTYPES = (jnp.float8_e4m3fn, jnp.float8_e5m2)
+
+
+_FP8NATIVE_WARNED = False
+
+
+def _warn_fp8native_autoselect() -> None:
+    """One-time notice when qdot auto-selects the fp8-operand route.
+
+    The route quantizes activations just-in-time to e4m3 (per-channel), so
+    the same weights produce slightly different logits than the dequant-to-
+    bf16 route (bounded ~3% rel per matmul in tests). Auto-selection only
+    happens on fp8-MXU backends; this notice makes the switch visible so a
+    serving deployment can pin ``LLM_FP8_QDOT=xla`` if it wants bit-stable
+    cross-chip logits.
+    """
+    global _FP8NATIVE_WARNED
+    if _FP8NATIVE_WARNED:
+        return
+    _FP8NATIVE_WARNED = True
+    import logging
+
+    logging.getLogger("llm_fp8_tpu").warning(
+        "qdot: auto-selected the fp8-operand MXU route (backend reports "
+        "native fp8 matmul). Activations are quantized to e4m3 just-in-time;"
+        " logits differ slightly from the dequant route. Pin LLM_FP8_QDOT="
+        "xla (or fp8native) to silence this notice and fix the route."
+    )
 
 
 def _native_fp8_enabled() -> bool:

@@ -50,6 +50,12 @@ class Request:
     output: List[int] = dataclasses.field(default_factory=list)
     slot: int = -1
     done: bool = False
+    # Set when the engine finishes a request abnormally (it cannot fit the
+    # KV arena or any prefill bucket) or had to alter its parameters (e.g.
+    # SpecEngine clamping max_new_tokens), so callers can distinguish
+    # "served as asked" from "rejected/adjusted" instead of inferring from
+    # empty or short output.
+    error: Optional[str] = None
     enqueue_time: float = 0.0
     first_token_time: Optional[float] = None
     finish_time: Optional[float] = None
@@ -412,6 +418,12 @@ class Engine:
                     or len(req.prompt) > self.ecfg.prefill_buckets[-1]):
                 self.waiting.pop(0)
                 req.done = True
+                req.error = (
+                    f"rejected: prompt={len(req.prompt)} + "
+                    f"max_new={req.params.max_new_tokens} exceeds arena "
+                    f"max_seq_len={self.ecfg.max_seq_len} or largest prefill "
+                    f"bucket {self.ecfg.prefill_buckets[-1]}"
+                )
                 finished.append(req)
                 continue
             self.waiting.pop(0)

@@ -117,8 +117,14 @@ class SpecEngine(Engine):
             donate_argnums=(1,),
         )
         self._spec_step = jax.jit(self._spec_step_impl, donate_argnums=(2, 3))
-        # Telemetry: per-round accepted-proposal counts across all slots.
-        self.accepted_histogram: List[int] = []
+        # Telemetry: recent per-round accepted-proposal counts (capped so a
+        # long-lived server doesn't grow it unboundedly) plus running
+        # aggregates covering the full lifetime.
+        from collections import deque
+
+        self.accepted_histogram: deque = deque(maxlen=4096)
+        self.accepted_total = 0
+        self.rounds_total = 0
 
     # ------------------------------------------------------------------
     # jitted compute
@@ -265,13 +271,43 @@ class SpecEngine(Engine):
             if not self.waiting or self.slot_req[slot] is not None:
                 continue
             req = self.waiting[0]
-            if (len(req.prompt) + req.params.max_new_tokens + g + 1
+            # Same admission bound as the plain Engine; the speculative
+            # arena additionally needs g+1 scratch rows past the committed
+            # length, so clamp max_new_tokens to keep a full round in-bounds
+            # instead of rejecting requests the plain Engine would serve.
+            if (len(req.prompt) + req.params.max_new_tokens
                     > self.ecfg.max_seq_len
                     or len(req.prompt) > self.ecfg.prefill_buckets[-1]):
                 self.waiting.pop(0)
                 req.done = True
+                req.error = (
+                    f"rejected: prompt={len(req.prompt)} + "
+                    f"max_new={req.params.max_new_tokens} exceeds arena "
+                    f"max_seq_len={self.ecfg.max_seq_len} or largest prefill "
+                    f"bucket {self.ecfg.prefill_buckets[-1]}"
+                )
                 finished.append(req)
                 continue
+            spec_room = self.ecfg.max_seq_len - len(req.prompt) - (g + 1)
+            if req.params.max_new_tokens > spec_room:
+                if spec_room < 1:
+                    self.waiting.pop(0)
+                    req.done = True
+                    req.error = (
+                        f"rejected: prompt={len(req.prompt)} leaves no room "
+                        f"for a speculative round (gamma={g}) in "
+                        f"max_seq_len={self.ecfg.max_seq_len}"
+                    )
+                    finished.append(req)
+                    continue
+                import dataclasses as _dc
+
+                req.params = _dc.replace(
+                    req.params, max_new_tokens=spec_room)
+                req.error = (
+                    f"max_new_tokens clamped to {spec_room} to fit a "
+                    f"gamma={g} speculative round in the arena"
+                )
             self.waiting.pop(0)
             bucket = self._bucket_for(len(req.prompt))
             padded = np.zeros((bucket,), np.int32)
@@ -312,6 +348,8 @@ class SpecEngine(Engine):
                 if req is None:
                     continue
                 self.accepted_histogram.append(int(n_commit[slot]) - 1)
+                self.accepted_total += int(n_commit[slot]) - 1
+                self.rounds_total += 1
                 stopped = False
                 for i in range(int(n_commit[slot])):
                     if len(req.output) >= req.params.max_new_tokens:
