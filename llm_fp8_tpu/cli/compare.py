@@ -148,7 +148,20 @@ def main(argv=None):
             )
         state = trainer.init_state(arm_params)
         tracker = StabilityTracker(precision_name=recipes)
+        # Metric pulls are DEFERRED: a per-step float(m["loss"]) forces a
+        # device→host sync every step, which over a remote-compile tunnel
+        # dominates wall time (round-3 artifact measured 1.0–1.8 s/step
+        # where the step-time bench says ~0.3 s — the anomaly was host
+        # round-trips + chip contention, not fp8 math). Pack the 4 scalars
+        # into one device array per step and pull them once after the loop
+        # so dispatch pipelines and wall ≈ steps × device step time.
+        pack = jax.jit(lambda m: jnp.stack([
+            m["loss"], m["grad_norm"],
+            m["activation_mean"], m["activation_std"],
+        ]).astype(jnp.float32))
+        packed = []
         steps = 0
+        compile_s = None
         t0 = time.perf_counter()
         for epoch in range(args.num_epochs):
             if steps >= total_steps:
@@ -159,18 +172,26 @@ def main(argv=None):
                     break
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 state, m = trainer.train_step(state, batch)
-                tracker.track_step(
-                    float(m["loss"]), grad_norm=float(m["grad_norm"]),
-                    activation_mean=float(m["activation_mean"]),
-                    activation_std=float(m["activation_std"]))
+                packed.append(pack(m))
                 steps += 1
-                if steps % 200 == 0:
+                if steps == 1:
+                    # First step = compile + one execution; report it apart
+                    # so wall-time and steady step-time agree.
+                    jax.block_until_ready(packed[0])
+                    compile_s = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                elif steps % 200 == 0:
                     print(f"[{recipes}] step {steps}/{total_steps} "
-                          f"loss={float(m['loss']):.4f} "
-                          f"({(time.perf_counter()-t0)/steps:.3f}s/step)",
+                          f"loss={float(packed[-1][0]):.4f} "
+                          f"({(time.perf_counter()-t0)/(steps-1):.3f}s/step)",
                           flush=True)
         jax.block_until_ready(state.params["final_norm"])
         wall = time.perf_counter() - t0
+        steady_steps = max(steps - 1, 1)
+        for row in np.asarray(jax.device_get(jnp.stack(packed))):
+            tracker.track_step(
+                float(row[0]), grad_norm=float(row[1]),
+                activation_mean=float(row[2]), activation_std=float(row[3]))
         eval_iter = dm.batches(eval_seqs, args.batch_size, shuffle=False,
                                drop_last=False)
         if args.max_eval_batches is not None:
@@ -183,6 +204,10 @@ def main(argv=None):
         )
         results[recipes] = {
             "train_wall_s": round(wall, 2),
+            "compile_s": round(compile_s, 2) if compile_s else None,
+            "step_s": round(wall / steady_steps, 4),
+            "steps_per_s": round(steady_steps / wall, 3),
+            "steps": steps,
             "eval_loss": ev["eval_loss"],
             "perplexity": ev["perplexity"],
             "stability": tracker.report(),

@@ -131,6 +131,17 @@ MODEL_REGISTRY = {
         head_dim=64, rope_theta=500000.0, rope_scaling=_LLAMA32_SCALING,
         tie_word_embeddings=True,
     ),
+    # Draft-scale sibling of llama-1b-32k (~8x fewer params, same vocab):
+    # the trained (target, draft) pair for measuring speculative decoding
+    # with real acceptance rates, mirroring the reference's
+    # decode_speculative protocol (generation.py:269-565) which pairs a
+    # big target with a small same-tokenizer draft.
+    "llama-150m-32k": ModelConfig(
+        name="llama-150m-32k", vocab_size=32768, hidden_size=1024,
+        intermediate_size=4096, num_layers=8, num_heads=16, num_kv_heads=4,
+        head_dim=64, rope_theta=500000.0, rope_scaling=_LLAMA32_SCALING,
+        tie_word_embeddings=True,
+    ),
     # Baichuan (flash_attn/models/baichuan.py): Llama block with fused
     # W_pack QKV; 7B uses RoPE, 13B uses ALiBi (inferred from hidden size in
     # the reference, baichuan.py:116-121 — here declared explicitly).

@@ -92,7 +92,7 @@ _FAST_FILES = {
     "test_decode_arena_kernel.py", "test_split_kv.py", "test_sampling.py",
     "test_model.py", "test_training.py", "test_serving.py",
     "test_parallel.py", "test_block_table.py", "test_aux.py",
-    "test_dropout_softcap.py",
+    "test_dropout_softcap.py", "test_data_hf_path.py",
 }
 
 # Individually slow tests (>15 s in the durations report) inside fast files.
