@@ -60,11 +60,12 @@ ITERS = 128  # enough for a stable ratio; keeps total wall time under budget
 # Wall-clock budget (s) for the whole script (round-1 lesson: a driver
 # timeout before the final print yields NO captured evidence — rc=124).
 # Measured r3: the 1b+8b+3b-pair legs take ~1170s over the tunnel even with
-# the persistent compile cache, and the int8 leg alone needs >190s — 1800s
-# fits all seven with margin. Safe to raise because a superset JSON line is
-# printed after EVERY leg — a driver kill at any point still leaves the
-# latest evidence on stdout, priority-ordered (1b headline, 8b, 3b first).
-BUDGET_S = float(os.environ.get("LLM_FP8_BENCH_BUDGET_S", "1800"))
+# the persistent compile cache, and the int8 leg alone needs >190s — the
+# r4 plan has 11 legs, so 2700s. Safe to raise because a superset JSON line
+# is printed after EVERY leg — a driver kill at any point still leaves the
+# latest evidence on stdout, priority-ordered (1b headline, then the 3B
+# paper-scale ladder, then 8B).
+BUDGET_S = float(os.environ.get("LLM_FP8_BENCH_BUDGET_S", "2700"))
 _T0 = time.monotonic()
 
 # Persistent compilation cache: children (and later driver runs) reuse
@@ -101,6 +102,18 @@ def _time_loop(run):
         _sync(run())
         times.append(time.perf_counter() - t0)
     return sorted(times)[1]
+
+
+def _peak_hbm_gb():
+    """Per-leg peak HBM (GB) — the thesis inference protocol reports peak
+    memory next to tokens/s per precision config
+    (thesis/chapters/c3/c3_methodology.tex:46-52)."""
+    from llm_fp8_tpu.utils.monitor import device_memory_stats
+
+    try:
+        return round(device_memory_stats()["peak_gb"], 2)
+    except Exception:  # noqa: BLE001 — stats exposure is backend-dependent
+        return None
 
 
 def bench_decode(params, cfg, kv_dtype, batch, attn_impl="auto"):
@@ -217,14 +230,16 @@ def _ladder(fn, batches, label):
     raise RuntimeError(f"{label} OOM at every batch tried {batches}")
 
 
-def _fake_quantized_params(cfg):
-    """Build LAYERWISE-quantized params directly in FP8 — the bf16
-    intermediate of init+quantize would transiently need 2 bytes/param
-    (16 GB for 8B), which itself OOMs the chip. Random fp8 bit patterns
-    (NaN encodings excluded) are throughput-equivalent to real weights."""
+def _fake_quantized_params(cfg, fmt="fp8"):
+    """Build LAYERWISE-quantized params directly in 1-byte storage — the
+    bf16 intermediate of init+quantize would transiently need 2 bytes/param
+    (16 GB for 8B), which itself OOMs the chip. Random fp8/int8 bit patterns
+    (NaN encodings excluded) are throughput-equivalent to real weights.
+    ``fmt``: "fp8" (e4m3) or "int8" (the v5e hardware-convert format)."""
     import jax
     import jax.numpy as jnp
     from llm_fp8_tpu.quant import QTensor, E4M3
+    from llm_fp8_tpu.quant.formats import INT8
 
     key = iter(jax.random.split(jax.random.PRNGKey(0), 16))
     D, I, V, L = (cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size,
@@ -241,7 +256,15 @@ def _fake_quantized_params(cfg):
         bits = jnp.where(bits == jnp.uint8(0x7F), jnp.uint8(0), bits)
         return jax.lax.bitcast_convert_type(bits, jnp.float8_e4m3fn)
 
+    @functools.partial(jax.jit, static_argnames=("shape",))
+    def _random_int8(k, shape):
+        return jax.random.bits(k, shape, dtype=jnp.uint8).astype(jnp.int8)
+
     def qleaf(k, shape):
+        if fmt == "int8":
+            qv = _random_int8(k, shape)
+            scale = jnp.full((shape[0], 1, shape[-1]), 1e-4, jnp.float32)
+            return QTensor(qvalue=qv, scale=scale, fmt=INT8)
         qv = _random_fp8(k, shape)
         # Per-channel scale [L, 1, N] matching quantize_params' stacked layout
         # (leading L must align with the other scan leaves).
@@ -312,6 +335,7 @@ def leg_1b():
         (BATCH_FP8, 36, 28), "1b fp8")
     out["fp8_tokens_per_s"] = round(fp8_tps, 1)
     out["fp8_batch"] = fp8_batch
+    out["fp8_peak_hbm_gb"] = _peak_hbm_gb()
     return out
 
 
@@ -331,7 +355,8 @@ def leg_int8():
     tps, batch = _ladder(
         lambda b: bench_decode(q_int8, cfg, jnp.bfloat16, b),
         (BATCH_FP8, 36, 28), "1b int8")
-    return {"int8_tokens_per_s": round(tps, 1), "int8_batch": batch}
+    return {"int8_tokens_per_s": round(tps, 1), "int8_batch": batch,
+            "int8_peak_hbm_gb": _peak_hbm_gb()}
 
 
 def leg_int8kv():
@@ -350,7 +375,8 @@ def leg_int8kv():
     tps, batch = _ladder(
         lambda b: bench_decode_arena(q_int8, cfg, jnp.int8, b),
         (BATCH_INT8KV, 64, 48), "1b int8-KV")
-    return {"int8kv_tokens_per_s": round(tps, 1), "int8kv_batch": batch}
+    return {"int8kv_tokens_per_s": round(tps, 1), "int8kv_batch": batch,
+            "int8kv_peak_hbm_gb": _peak_hbm_gb()}
 
 
 def leg_8b():
@@ -384,6 +410,7 @@ def leg_8b():
     tps, batch = _ladder(run, (8, 8, 6, 4), "8b fp8")
     return {"llama8b_fp8_tokens_per_s": round(tps, 1),
             "llama8b_fp8_batch": batch,
+            "llama8b_fp8_peak_hbm_gb": _peak_hbm_gb(),
             "llama8b_bf16": "OOM (16GB weights > chip HBM)"}
 
 
@@ -401,7 +428,8 @@ def leg_3b_bf16():
         lambda b: bench_decode(params, cfg, jnp.bfloat16, b),
         (BATCH_3B_BF16, 6, 4), "3b bf16")
     return {"llama3b_bf16_tokens_per_s": round(tps, 1),
-            "llama3b_bf16_batch": batch}
+            "llama3b_bf16_batch": batch,
+            "llama3b_bf16_peak_hbm_gb": _peak_hbm_gb()}
 
 
 def leg_3b_fp8():
@@ -421,7 +449,95 @@ def leg_3b_fp8():
 
     tps, batch = _ladder(run, (BATCH_3B_FP8, 28, 20), "3b fp8")
     return {"llama3b_fp8_tokens_per_s": round(tps, 1),
-            "llama3b_fp8_batch": batch}
+            "llama3b_fp8_batch": batch,
+            "llama3b_fp8_peak_hbm_gb": _peak_hbm_gb()}
+
+
+def leg_3b_int8():
+    """3B int8 weights + bf16 KV at the bf16@8 HBM envelope — the v5e
+    1-byte format whose dequant is a hardware convert (int8 measured 2.40x
+    at 1B where fp8's VPU-software dequant does 2.38x only via batch)."""
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models import get_config
+
+    cfg = get_config("llama-3.2-3b")
+
+    def run(b):
+        qparams = _fake_quantized_params(cfg, fmt="int8")
+        try:
+            return bench_decode(qparams, cfg, jnp.bfloat16, b)
+        finally:
+            del qparams
+
+    tps, batch = _ladder(run, (BATCH_3B_FP8, 28, 20), "3b int8")
+    return {"llama3b_int8_tokens_per_s": round(tps, 1),
+            "llama3b_int8_batch": batch,
+            "llama3b_int8_peak_hbm_gb": _peak_hbm_gb()}
+
+
+def leg_3b_int8kv():
+    """3B int8 weights + int8 arena KV: halved cache bytes seat ~2x the
+    fp8-leg batch in the same envelope (3.2 GB weights + B x 58.7 MB)."""
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models import get_config
+
+    cfg = get_config("llama-3.2-3b")
+
+    def run(b):
+        qparams = _fake_quantized_params(cfg, fmt="int8")
+        try:
+            return bench_decode_arena(qparams, cfg, jnp.int8, b)
+        finally:
+            del qparams
+
+    tps, batch = _ladder(run, (72, 64, 56, 48), "3b int8-KV")
+    return {"llama3b_int8kv_tokens_per_s": round(tps, 1),
+            "llama3b_int8kv_batch": batch,
+            "llama3b_int8kv_peak_hbm_gb": _peak_hbm_gb()}
+
+
+def leg_8b_int8():
+    """8B int8 weights + bf16 KV, batch raised past the fp8 leg's 8 —
+    the VERDICT r3 ask: an 8B ratio vs its own fp8 baseline (bf16 8B does
+    not fit the chip at all)."""
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models import get_config
+
+    cfg = get_config("llama-3.1-8b")
+
+    def run(b):
+        qparams = _fake_quantized_params(cfg, fmt="int8")
+        try:
+            return bench_decode(qparams, cfg, jnp.bfloat16, b)
+        finally:
+            del qparams
+
+    # 8 GB weights + B x 134 MB cache: 44 -> 13.9 GB (fits 15.7), ladder
+    # down for co-tenant contention.
+    tps, batch = _ladder(run, (44, 36, 28, 16, 8), "8b int8")
+    return {"llama8b_int8_tokens_per_s": round(tps, 1),
+            "llama8b_int8_batch": batch,
+            "llama8b_int8_peak_hbm_gb": _peak_hbm_gb()}
+
+
+def leg_8b_int8kv():
+    """8B int8 weights + int8 arena KV (67 MB/seq at cache 1024)."""
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models import get_config
+
+    cfg = get_config("llama-3.1-8b")
+
+    def run(b):
+        qparams = _fake_quantized_params(cfg, fmt="int8")
+        try:
+            return bench_decode_arena(qparams, cfg, jnp.int8, b)
+        finally:
+            del qparams
+
+    tps, batch = _ladder(run, (88, 72, 56, 40, 24), "8b int8-KV")
+    return {"llama8b_int8kv_tokens_per_s": round(tps, 1),
+            "llama8b_int8kv_batch": batch,
+            "llama8b_int8kv_peak_hbm_gb": _peak_hbm_gb()}
 
 
 def leg_mla():
@@ -448,27 +564,38 @@ def leg_mla():
             del mparams
 
     tps, batch = _ladder(run, (BATCH_MLA_INT8, 96, 64), "mla int8")
-    return {"mla_int8_tokens_per_s": round(tps, 1), "mla_int8_batch": batch}
+    return {"mla_int8_tokens_per_s": round(tps, 1), "mla_int8_batch": batch,
+            "mla_int8_peak_hbm_gb": _peak_hbm_gb()}
 
 
 LEGS = {
     "1b": leg_1b,
     "8b": leg_8b,
+    "8b_int8": leg_8b_int8,
+    "8b_int8kv": leg_8b_int8kv,
     "3b_bf16": leg_3b_bf16,
     "3b_fp8": leg_3b_fp8,
+    "3b_int8": leg_3b_int8,
+    "3b_int8kv": leg_3b_int8kv,
     "int8": leg_int8,
     "int8kv": leg_int8kv,
     "mla": leg_mla,
 }
 
 # (name, wall-clock estimate s) in run order. The 1b headline goes first so
-# a driver timeout still captures the metric; 8b immediately after (the one
-# number BASELINE.json names); then the paper-scale 3B pair; then extras.
+# a driver timeout still captures the metric; then the paper-scale 3B
+# ladder (bf16 baseline + the 1-byte configs — the r3 VERDICT's top ask:
+# >=2x at 3B on a 1-byte config); then the 8B ladder (BASELINE.json model,
+# int8 legs raising the batch past the fp8@8 floor); then the 1B extras.
 LEG_PLAN = [
     ("1b", 240),
-    ("8b", 300),
     ("3b_bf16", 180),
+    ("3b_int8", 200),
     ("3b_fp8", 200),
+    ("8b_int8", 260),
+    ("8b", 300),
+    ("3b_int8kv", 200),
+    ("8b_int8kv", 260),
     ("int8", 210),
     ("int8kv", 210),
     ("mla", 210),
@@ -558,10 +685,25 @@ def _derive(result):
                 result["vs_baseline"] = round(x / 2.0, 3)
             else:
                 result[dst] = x
-    b3, f3 = (result.get("llama3b_bf16_tokens_per_s"),
-              result.get("llama3b_fp8_tokens_per_s"))
-    if b3 and f3:
-        result["llama3b_fp8_vs_bf16_x"] = round(f3 / b3, 3)
+    b3 = result.get("llama3b_bf16_tokens_per_s")
+    if b3:
+        for src, dst in (
+            ("llama3b_fp8_tokens_per_s", "llama3b_fp8_vs_bf16_x"),
+            ("llama3b_int8_tokens_per_s", "llama3b_int8_vs_bf16_x"),
+            ("llama3b_int8kv_tokens_per_s", "llama3b_int8kv_vs_bf16_x"),
+        ):
+            if result.get(src):
+                result[dst] = round(result[src] / b3, 3)
+    # 8B has no bf16 baseline (16 GB weights don't fit the chip): the ratio
+    # the r3 VERDICT asked for is vs the 8B fp8@8 leg itself.
+    f8 = result.get("llama8b_fp8_tokens_per_s")
+    if f8:
+        for src, dst in (
+            ("llama8b_int8_tokens_per_s", "llama8b_int8_vs_fp8_x"),
+            ("llama8b_int8kv_tokens_per_s", "llama8b_int8kv_vs_fp8_x"),
+        ):
+            if result.get(src):
+                result[dst] = round(result[src] / f8, 3)
 
 
 def main():

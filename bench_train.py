@@ -80,7 +80,7 @@ def _sync(x):
 
 
 def bench_one(cfg, recipes, batch, remat=True, seq=SEQ, ce_chunks=0,
-              grad_accum=1):
+              grad_accum=1, unroll=1):
     """Median seconds per train step for the given recipe set.
 
     ``grad_accum > 1`` measures the amortized-optimizer regime: the AdamW
@@ -99,7 +99,7 @@ def bench_one(cfg, recipes, batch, remat=True, seq=SEQ, ce_chunks=0,
         TrainConfig(
             recipes=recipes, warmup_steps=1, total_steps=1000, remat=remat,
             adam_mu_dtype="bfloat16", ce_chunks=ce_chunks,
-            grad_accum=grad_accum,
+            grad_accum=grad_accum, unroll=unroll,
         ),
     )
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)

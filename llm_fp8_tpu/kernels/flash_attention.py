@@ -51,6 +51,12 @@ def _auto_block(seq: int) -> int:
     640) — so a candidate is taken only when its padded length is within
     25% of the 128-tile padded length (1 extra 128-tile of slack per 512).
     """
+    import os
+
+    env = os.environ.get("LLM_FP8_FLASH_BLOCK")
+    if env:  # trace-time sweep hook (scripts/sweep_train.py block study)
+        return int(env)
+
     def pad_to(b):
         return -(-seq // b) * b
 

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from llm_fp8_tpu.models import get_config
 from llm_fp8_tpu.ops.attention import decode_attention
 from llm_fp8_tpu.quant import QTensor, E4M3
+from llm_fp8_tpu.quant.formats import INT8
 from llm_fp8_tpu.quant.dot import qdot
 
 ITERS = 64
@@ -96,7 +97,7 @@ def _gemm_weights(cfg, fmt, key):
             out[name] = QTensor(
                 qvalue=qv,
                 scale=jnp.full((shape[0], 1, shape[-1]), 1e-4, jnp.float32),
-                fmt=None,
+                fmt=INT8,
             )
         else:
             raise ValueError(fmt)

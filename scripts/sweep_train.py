@@ -19,13 +19,23 @@ from bench_train import bench_one, model_flops_per_step, PEAK_FLOPS  # noqa: E40
 from llm_fp8_tpu.models import get_config  # noqa: E402
 
 CONFIGS = [
-    # (batch, remat, ce_chunks, grad_accum)
-    (8, "dots", 0, 1),   # round-3 anchor (54.1% MFU after 512-wide tiles)
-    (8, "dots", 0, 4),   # amortize the ~34 ms AdamW pass over 4 microbatches
-    (8, "dots", 0, 8),
-    (12, "dots", 8, 1),  # bigger batch if ce_chunks frees enough
-    (16, "dots", 8, 1),
-    (8, "dots", 8, 4),   # + chunked CE frees the 2.1 GB logits
+    # (batch, remat, ce_chunks, grad_accum, unroll, flash_block)
+    (8, "dots", 0, 1, 1, None),   # round-3 anchor (54.1% MFU, 512 tiles)
+    # r4 MFU push: layer-scan unroll — the scan dynamically slices each
+    # layer's weights from the stacked [L, ...] arrays every iteration;
+    # unrolling lets XLA overlap the next layer's weight fetch with the
+    # current layer's compute (double-buffering the scan carry).
+    (8, "dots", 0, 1, 2, None),
+    (8, "dots", 0, 1, 4, None),
+    (8, "dots", 0, 1, 16, None),  # fully unrolled
+    # flash bwd block sweep at the 512-tile regime (VERDICT r3 #2): the
+    # bwd kernel's VMEM working set per program is ~4x the forward's
+    # (q, kT, v, vT, do tiles + 2 f32 accumulators) — 256-wide tiles may
+    # trade grid overhead for better VMEM residency.
+    (8, "dots", 0, 1, 1, 256),
+    (8, "dots", 0, 1, 1, 384),
+    # best-unroll x 256-block composition is run manually after reading
+    # the table.
 ]
 
 
@@ -34,20 +44,28 @@ def main():
     kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(kind, 197e12)
     rows = []
-    for batch, remat, ce, accum in CONFIGS:
+    import os
+
+    for batch, remat, ce, accum, unroll, flash_block in CONFIGS:
         flops = model_flops_per_step(cfg, batch, 512)
+        if flash_block is None:
+            os.environ.pop("LLM_FP8_FLASH_BLOCK", None)
+        else:
+            os.environ["LLM_FP8_FLASH_BLOCK"] = str(flash_block)
         try:
             dt = bench_one(cfg, "bf16", batch, remat=remat, ce_chunks=ce,
-                           grad_accum=accum)
+                           grad_accum=accum, unroll=unroll)
         except Exception as e:  # OOM on the 16 GB chip is expected for some
             print(json.dumps({"batch": batch, "remat": str(remat),
                               "ce_chunks": ce, "grad_accum": accum,
+                              "unroll": unroll, "flash_block": flash_block,
                               "error": str(e)[:200]}),
                   flush=True)
             continue
         row = {
             "batch": batch, "remat": str(remat), "ce_chunks": ce,
-            "grad_accum": accum,
+            "grad_accum": accum, "unroll": unroll,
+            "flash_block": flash_block,
             "step_s": round(dt, 4),
             "tokens_per_s": round(batch * 512 / dt, 1),
             "mfu": round(flops / dt / peak, 4),
