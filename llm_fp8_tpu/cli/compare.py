@@ -50,6 +50,11 @@ def build_parser():
     p.add_argument("--param_dtype", type=str, default=None)
     p.add_argument("--resume", action="store_true",
                    help="skip configs already present in --out, merge results")
+    p.add_argument("--ramp_steps", type=int, default=0,
+                   help="training steps excluded from the steady step_s "
+                   "timing (they still train). Over a remote-dispatch "
+                   "tunnel the per-step round-trip throughput ramps for "
+                   "O(100) steps; 300 is a good value there")
     p.add_argument("--configs", nargs="+",
                    default=["bf16", "default", "hybrid", "mxfp8"],
                    choices=["bf16", "default", "hybrid", "mxfp8",
@@ -162,6 +167,7 @@ def main(argv=None):
         packed = []
         steps = 0
         compile_s = None
+        ramp_s = None
         t0 = time.perf_counter()
         for epoch in range(args.num_epochs):
             if steps >= total_steps:
@@ -180,14 +186,24 @@ def main(argv=None):
                     jax.block_until_ready(packed[0])
                     compile_s = time.perf_counter() - t0
                     t0 = time.perf_counter()
+                elif steps == 1 + args.ramp_steps and args.ramp_steps:
+                    # Untimed dispatch-ramp window (still real training
+                    # steps): steady step_s starts here.
+                    jax.block_until_ready(packed[-1])
+                    ramp_s = time.perf_counter() - t0
+                    t0 = time.perf_counter()
                 elif steps % 200 == 0:
+                    timed = steps - 1 - (args.ramp_steps
+                                         if steps > args.ramp_steps + 1
+                                         else 0)
                     print(f"[{recipes}] step {steps}/{total_steps} "
                           f"loss={float(packed[-1][0]):.4f} "
-                          f"({(time.perf_counter()-t0)/(steps-1):.3f}s/step)",
-                          flush=True)
+                          f"({(time.perf_counter()-t0)/max(timed, 1):.3f}"
+                          f"s/step)", flush=True)
         jax.block_until_ready(state.params["final_norm"])
         wall = time.perf_counter() - t0
-        steady_steps = max(steps - 1, 1)
+        timed_ramp = args.ramp_steps if steps > args.ramp_steps + 1 else 0
+        steady_steps = max(steps - 1 - timed_ramp, 1)
         for row in np.asarray(jax.device_get(jnp.stack(packed))):
             tracker.track_step(
                 float(row[0]), grad_norm=float(row[1]),
@@ -205,6 +221,7 @@ def main(argv=None):
         results[recipes] = {
             "train_wall_s": round(wall, 2),
             "compile_s": round(compile_s, 2) if compile_s else None,
+            "ramp_s": round(ramp_s, 2) if ramp_s else None,
             "step_s": round(wall / steady_steps, 4),
             "steps_per_s": round(steady_steps / wall, 3),
             "steps": steps,
