@@ -101,14 +101,23 @@ def _dkv_kernel(
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale, causal, window, softcap, block_q, block_k, num_q_tiles,
+    groups, num_q_heads,
     has_segments, has_alibi, dropout_rate, attention_chunk,
 ):
-    b, h = pl.program_id(0), pl.program_id(1)
-    ki, qi = pl.program_id(2), pl.program_id(3)
+    # Grid: (B, Hk, nk, groups * nq). The inner sequential dim enumerates
+    # (g, qi) pairs so the GQA group-sum of dk/dv happens IN the f32
+    # accumulator — the per-q-head [B, Hq, Sk, D] intermediates (4x the
+    # output bytes at Llama's groups=4) and the external bf16 reduction
+    # pass both disappear.
+    b, hk = pl.program_id(0), pl.program_id(1)
+    ki, t = pl.program_id(2), pl.program_id(3)
+    g = t // num_q_tiles
+    qi = t % num_q_tiles
+    hq = hk * groups + g
     q_off = q_offset_ref[b]
     kv_len = kv_lens_ref[b]
 
-    @pl.when(qi == 0)
+    @pl.when(t == 0)
     def _():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -132,8 +141,8 @@ def _dkv_kernel(
             seg_q=qseg_ref[0, 0] if has_segments else None,
             seg_k=kseg_ref[0, 0] if has_segments else None,
             dropout_rate=dropout_rate, seed=seed_ref[0],
-            bh=b * pl.num_programs(1) + h,
-            alibi_slope=alibi_ref[b, h] if has_alibi else None,
+            bh=b * num_q_heads + hq,
+            alibi_slope=alibi_ref[b, hq] if has_alibi else None,
             attention_chunk=attention_chunk,
         )
         dtype = q.dtype
@@ -144,7 +153,7 @@ def _dkv_kernel(
             ds.T.astype(dtype), q, preferred_element_type=jnp.float32
         )
 
-    @pl.when(qi == num_q_tiles - 1)
+    @pl.when(t == groups * num_q_tiles - 1)
     def _():
         dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
@@ -253,9 +262,9 @@ def flash_attention_bwd(
         qs8 = jnp.broadcast_to(qs[:, None, :], (B_, 8, Sq_p))
         ks8 = jnp.broadcast_to(ks[:, None, :], (B_, 8, Sk_p))
         qseg_spec_kv = pl.BlockSpec((1, 8, block_q),
-                                    lambda b, h, ki, qi, *_: (b, 0, qi))
+                                    lambda b, h, ki, t, *_: (b, 0, t % nq))
         kseg_spec_kv = pl.BlockSpec((1, 8, block_k),
-                                    lambda b, h, ki, qi, *_: (b, 0, ki))
+                                    lambda b, h, ki, t, *_: (b, 0, ki))
         qseg_spec_q = pl.BlockSpec((1, 8, block_q),
                                    lambda b, h, qi, ki, *_: (b, 0, qi))
         kseg_spec_q = pl.BlockSpec((1, 8, block_k),
@@ -264,9 +273,9 @@ def flash_attention_bwd(
         qs8 = jnp.zeros((B_, 8, block_q), jnp.int32)
         ks8 = jnp.zeros((B_, 8, block_k), jnp.int32)
         qseg_spec_kv = pl.BlockSpec((1, 8, block_q),
-                                    lambda b, h, ki, qi, *_: (b, 0, 0))
+                                    lambda b, h, ki, t, *_: (b, 0, 0))
         kseg_spec_kv = pl.BlockSpec((1, 8, block_k),
-                                    lambda b, h, ki, qi, *_: (b, 0, 0))
+                                    lambda b, h, ki, t, *_: (b, 0, 0))
         qseg_spec_q = qseg_spec_kv
         kseg_spec_q = kseg_spec_kv
 
@@ -289,35 +298,44 @@ def flash_attention_bwd(
                   has_segments=has_segments, has_alibi=has_alibi,
                   dropout_rate=dropout_rate, attention_chunk=attention_chunk)
 
-    # ---- dK/dV (per q-head, grid: b, h, ki, qi-inner) ----
+    # ---- dK/dV (grid: b, hk, ki, (g, qi)-inner — group-sum in-kernel) ----
     dkv = pl.pallas_call(
-        functools.partial(_dkv_kernel, num_q_tiles=nq, **common),
+        functools.partial(_dkv_kernel, num_q_tiles=nq, groups=groups,
+                          num_q_heads=Hq, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
-            grid=(B, Hq, nk, nq),
+            grid=(B, Hk, nk, groups * nq),
             in_specs=[
-                pl.BlockSpec((1, 1, block_q, D),
-                             lambda b, h, ki, qi, *_: (b, h, qi, 0)),  # q
+                pl.BlockSpec(
+                    (1, 1, block_q, D),
+                    lambda b, h, ki, t, *_: (b, h * groups + t // nq, t % nq, 0),
+                ),  # q
                 pl.BlockSpec((1, 1, D, block_k),
-                             lambda b, h, ki, qi, *_: (b, h // groups, 0, ki)),  # kT
+                             lambda b, h, ki, t, *_: (b, h, 0, ki)),  # kT
                 pl.BlockSpec((1, 1, block_k, D),
-                             lambda b, h, ki, qi, *_: (b, h // groups, ki, 0)),  # v
+                             lambda b, h, ki, t, *_: (b, h, ki, 0)),  # v
                 pl.BlockSpec((1, 1, D, block_k),
-                             lambda b, h, ki, qi, *_: (b, h // groups, 0, ki)),  # vT
-                pl.BlockSpec((1, 1, block_q, D),
-                             lambda b, h, ki, qi, *_: (b, h, qi, 0)),  # do
-                pl.BlockSpec((1, 1, 8, block_q),
-                             lambda b, h, ki, qi, *_: (b, h, 0, qi)),  # lse
-                pl.BlockSpec((1, 1, 8, block_q),
-                             lambda b, h, ki, qi, *_: (b, h, 0, qi)),  # di
+                             lambda b, h, ki, t, *_: (b, h, 0, ki)),  # vT
+                pl.BlockSpec(
+                    (1, 1, block_q, D),
+                    lambda b, h, ki, t, *_: (b, h * groups + t // nq, t % nq, 0),
+                ),  # do
+                pl.BlockSpec(
+                    (1, 1, 8, block_q),
+                    lambda b, h, ki, t, *_: (b, h * groups + t // nq, 0, t % nq),
+                ),  # lse
+                pl.BlockSpec(
+                    (1, 1, 8, block_q),
+                    lambda b, h, ki, t, *_: (b, h * groups + t // nq, 0, t % nq),
+                ),  # di
                 qseg_spec_kv,
                 kseg_spec_kv,
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_k, D),
-                             lambda b, h, ki, qi, *_: (b, h, ki, 0)),
+                             lambda b, h, ki, t, *_: (b, h, ki, 0)),
                 pl.BlockSpec((1, 1, block_k, D),
-                             lambda b, h, ki, qi, *_: (b, h, ki, 0)),
+                             lambda b, h, ki, t, *_: (b, h, ki, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_k, D), jnp.float32),
@@ -325,8 +343,8 @@ def flash_attention_bwd(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hq, Sk_p, D), q.dtype),
-            jax.ShapeDtypeStruct((B, Hq, Sk_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hk, Sk_p, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hk, Sk_p, D), q.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -334,7 +352,7 @@ def flash_attention_bwd(
         interpret=interpret,
     )(q_offset, kv_lens, seed, alibi_arr, qt, kT, vt, vT, dot_, lse, di,
       qs8, ks8)
-    dk_per_q, dv_per_q = dkv
+    dk_grouped, dv_grouped = dkv
 
     # ---- dQ (grid: b, h, qi, ki-inner) ----
     dq = pl.pallas_call(
@@ -373,19 +391,7 @@ def flash_attention_bwd(
       qs8, ks8)
 
     dq_out = dq[:, :, :Sq].transpose(0, 2, 1, 3)
-    # GQA: fold per-q-head dk/dv over the group.
-    dk_out = (
-        dk_per_q[:, :, :Sk]
-        .reshape(B, Hk, groups, Sk, D)
-        .sum(axis=2)
-        .transpose(0, 2, 1, 3)
-        .astype(k.dtype)
-    )
-    dv_out = (
-        dv_per_q[:, :, :Sk]
-        .reshape(B, Hk, groups, Sk, D)
-        .sum(axis=2)
-        .transpose(0, 2, 1, 3)
-        .astype(v.dtype)
-    )
+    # GQA group-sum already folded inside the dKV kernel (f32 accumulator).
+    dk_out = dk_grouped[:, :, :Sk].transpose(0, 2, 1, 3).astype(k.dtype)
+    dv_out = dv_grouped[:, :, :Sk].transpose(0, 2, 1, 3).astype(v.dtype)
     return dq_out, dk_out, dv_out

@@ -16,15 +16,27 @@ __all__ = ["device_memory_stats", "MemoryProfiler", "StepTimer", "estimate_memor
 
 
 def device_memory_stats(device: Optional[jax.Device] = None) -> Dict[str, float]:
-    """Per-device memory in GB (bytes_in_use / peak / limit when exposed)."""
+    """Per-device memory in GB (bytes_in_use / peak / limit when exposed).
+
+    Tunneled PJRT backends (axon) return ``None`` from ``memory_stats()``;
+    there the fallback sums this process's live device arrays — the
+    equal-HBM *footprint* (weights + caches + inputs held by the caller),
+    not a true high-water mark. ``source`` says which path produced the
+    numbers.
+    """
     device = device or jax.devices()[0]
     stats = device.memory_stats() or {}
     gb = 1024 ** 3
-    return {
-        "in_use_gb": stats.get("bytes_in_use", 0) / gb,
-        "peak_gb": stats.get("peak_bytes_in_use", 0) / gb,
-        "limit_gb": stats.get("bytes_limit", 0) / gb,
-    }
+    if stats:
+        return {
+            "in_use_gb": stats.get("bytes_in_use", 0) / gb,
+            "peak_gb": stats.get("peak_bytes_in_use", 0) / gb,
+            "limit_gb": stats.get("bytes_limit", 0) / gb,
+            "source": "pjrt",
+        }
+    live = sum(a.nbytes for a in jax.live_arrays()) / gb
+    return {"in_use_gb": live, "peak_gb": live, "limit_gb": 0.0,
+            "source": "live_arrays"}
 
 
 class MemoryProfiler:
