@@ -144,6 +144,10 @@ def main():
     ap.add_argument("--ce_chunks", type=int, default=0,
                     help=">1: chunked lm_head+cross-entropy fusion — the "
                          "[B,S,128k] fp32 logits never materialize")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="layer-scan unroll factor; 16 (full) lets XLA "
+                         "software-pipeline the next layer's weight fetch "
+                         "(measured 54.4 -> 56.9% MFU at 1B/8x512)")
     ap.add_argument("--recipes", default="default,int8_train",
                     help="comma list of quantized recipes to compare against "
                          "bf16 in the same run: 'default' (LAYERWISE fp8), "
@@ -159,7 +163,7 @@ def main():
 
     remat = {"full": True, "dots": "dots", "none": False}[args.remat]
     dt_bf16 = bench_one(cfg, "bf16", args.batch, remat=remat, seq=args.seq,
-                        ce_chunks=args.ce_chunks)
+                        ce_chunks=args.ce_chunks, unroll=args.unroll)
 
     tokens = args.batch * args.seq
     result = {
@@ -176,6 +180,7 @@ def main():
         "seq": args.seq,
         "remat": args.remat,
         "ce_chunks": args.ce_chunks,
+        "unroll": args.unroll,
         "note": (
             "v5e has no native fp8 MXU: the fp8 path quantizes/dequantizes "
             "on the VPU against the same bf16 MXU dot, so <=1.0x there is "
@@ -188,8 +193,15 @@ def main():
         ),
     }
     for name in [r for r in args.recipes.split(",") if r]:
-        dt = bench_one(cfg, name, args.batch, remat=remat,
-                       seq=args.seq, ce_chunks=args.ce_chunks)
+        try:
+            dt = bench_one(cfg, name, args.batch, remat=remat,
+                           seq=args.seq, ce_chunks=args.ce_chunks,
+                           unroll=args.unroll)
+        except Exception as e:  # noqa: BLE001 — a recipe leg OOMing (e.g.
+            # fp8 residuals at remat=none) must not lose the bf16 number
+            result[f"{name}_error"] = str(e)[:200]
+            print(json.dumps(result), flush=True)
+            continue
         tag = {"default": "fp8", "layerwise": "fp8"}.get(name, name)
         result[f"{tag}_step_s"] = round(dt, 4)
         result[f"{tag}_tokens_per_s"] = round(tokens / dt, 1)

@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">1: fuse lm_head into a chunked cross-entropy so "
                         "the [B,S,vocab] fp32 logits never materialize "
                         "(Llama family; big memory win at 128k vocab)")
+    t.add_argument("--unroll", type=int, default=1,
+                   help="layer-scan unroll factor; full unroll lets XLA "
+                        "software-pipeline the next layer's weight fetch "
+                        "(1B/8x512: 54.4 -> 60.4% MFU with --remat none)")
 
     m = p.add_argument_group("Mesh (replaces torchrun/DDP/FSDP flags)")
     m.add_argument("--dp", type=int, default=1)
@@ -188,6 +192,8 @@ def main(argv=None):
             grad_accum=args.gradient_accumulation_steps,
             recipes=recipes,
             remat={"none": False, "full": True, "dots": "dots"}[args.remat],
+            unroll=args.unroll,
+            ce_chunks=args.ce_chunks,
         ),
         cp_mesh=mesh if args.cp > 1 else None,
         forward_fn=None if is_llama_family else entry.forward_fn,

@@ -85,6 +85,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seq", type=int, default=512)
     ap.add_argument("--remat", default="dots", choices=["full", "dots", "none"])
+    ap.add_argument("--unroll", type=int, default=1)
     args = ap.parse_args()
 
     cfg = get_config(args.model)
@@ -92,7 +93,8 @@ def main():
     trainer = Trainer(
         cfg,
         TrainConfig(recipes="bf16", warmup_steps=1, total_steps=1000,
-                    remat=remat, adam_mu_dtype="bfloat16"),
+                    remat=remat, adam_mu_dtype="bfloat16",
+                    unroll=args.unroll),
     )
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     batch = {
@@ -108,7 +110,8 @@ def main():
     def fwd_only(params, batch):
         def body(c, _):
             tok = _perturb_tokens(batch["input_ids"], c)
-            out = forward(params, tok, cfg, remat=trainer.cfg.remat)
+            out = forward(params, tok, cfg, remat=trainer.cfg.remat,
+                          unroll=trainer.cfg.unroll)
             logits = out[0] if isinstance(out, tuple) else out
             return _pick(logits, c), None
 
