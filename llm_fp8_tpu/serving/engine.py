@@ -80,6 +80,14 @@ class EngineConfig:
     kv_scale: float = 1.0  # fp8 KV descale / int8 pre-calibration seed
     prefill_buckets: tuple = (128, 256, 512, 1024, 2048)
     attn_impl: str = "auto"
+    # Max greedy decode steps fused into ONE dispatch (lax.scan burst):
+    # per-token host round-trips dominate decode latency over a remote
+    # tunnel; a burst amortizes dispatch+sync across up to this many tokens.
+    # EOS inside a burst is handled by host-side truncation of the fetched
+    # token block; the burst is capped so no slot can write past its arena
+    # row. 1 disables (per-step decode). Sampled requests (temperature>0)
+    # always decode per-step.
+    decode_burst: int = 32
 
 
 class Engine:
@@ -218,12 +226,20 @@ class Engine:
             self._decode = jax.jit(
                 self._decode_arena_impl, donate_argnums=(1, 2)
             )
+            self._decode_burst = jax.jit(
+                self._decode_arena_burst_impl, static_argnames=("steps",),
+                donate_argnums=(1, 2),
+            )
         else:
             self._prefill = jax.jit(
                 self._prefill_impl, static_argnames=("bucket",),
                 donate_argnums=(1,),
             )
             self._decode = jax.jit(self._decode_impl, donate_argnums=(1,))
+            self._decode_burst = jax.jit(
+                self._decode_burst_impl, static_argnames=("steps",),
+                donate_argnums=(1,),
+            )
 
     # ------------------------------------------------------------------
     # jitted compute
@@ -357,6 +373,81 @@ class Engine:
             )
         return logits, gtoks
 
+    def _decode_arena_burst_impl(self, params, ka, va, last_tokens, lens,
+                                 kscales, vscales, *, steps):
+        """``steps`` greedy fused-arena decode steps as ONE dispatch."""
+        from llm_fp8_tpu.models.llama import forward_decode_arena
+
+        def body(carry, _):
+            toks, lens, ka, va = carry
+            logits, ka, va = forward_decode_arena(
+                params, toks[:, None], self.cfg, ka, va, lens,
+                kv_scale=(kscales, vscales),
+                window=self.cfg.sliding_window,
+            )
+            toks = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            return (toks, lens + 1, ka, va), toks
+
+        (toks, lens, ka, va), out = jax.lax.scan(
+            body, (last_tokens, lens, ka, va), None, length=steps
+        )
+        return out, ka, va
+
+    def _decode_burst_impl(self, params, cache, last_tokens, lens, *, steps):
+        """``steps`` greedy decode steps as ONE dispatch (generic KV path)."""
+        def body(carry, _):
+            toks, lens, cache = carry
+            logits, cache = self._forward(
+                params, toks[:, None], self.cfg, cache=cache,
+                start_pos=lens, kv_lens=lens + 1,
+                attn_impl=self.ecfg.attn_impl,
+            )
+            toks = jnp.argmax(logits[:, 0], -1).astype(jnp.int32)
+            return (toks, lens + 1, cache), toks
+
+        (toks, lens, cache), out = jax.lax.scan(
+            body, (last_tokens, lens, cache), None, length=steps
+        )
+        return out, cache
+
+    def _run_decode_burst(self, toks, lens, steps):
+        if self._fp8_arena:
+            out, self.ka, self.va = self._decode_burst(
+                self.params, self.ka, self.va, toks, lens,
+                self._kscales, self._vscales, steps=steps
+            )
+        else:
+            out, self.cache = self._decode_burst(
+                self.params, self.cache, toks, lens, steps=steps
+            )
+        return np.asarray(out)  # [steps, slots]
+
+    _BURST_BUCKETS = (32, 16, 8, 4, 2)
+
+    def _burst_size(self) -> int:
+        """Largest safe burst: greedy-only active slots; capped by each
+        slot's remaining token budget AND its arena headroom (a slot must
+        retire before writing at position max_seq_len-1 — the same
+        defensive bound the per-step loop enforces); bucketed to bound
+        recompiles; capped at 8 while requests wait so freed slots refill
+        promptly."""
+        active = [(s, r) for s, r in enumerate(self.slot_req)
+                  if r is not None]
+        if not active or any(r.params.temperature != 0.0 for _, r in active):
+            return 1
+        n = min(
+            min(r.params.max_new_tokens - len(r.output) for _, r in active),
+            min(self.ecfg.max_seq_len - 1 - int(self.slot_lens[s])
+                for s, _ in active),
+            self.ecfg.decode_burst,
+        )
+        if self.waiting:
+            n = min(n, 8)
+        for b in self._BURST_BUCKETS:
+            if b <= n:
+                return b
+        return 1
+
     def _decode_impl(self, params, cache, last_tokens, lens):
         """One decode step over every slot (the 'captured graph').
 
@@ -445,13 +536,29 @@ class Engine:
             if self._is_stop(req, tok):
                 finished.append(self._retire(slot))
 
-        # --- one decode step over active slots ---
+        # --- one decode step (or one fused burst) over active slots ---
         if any(r is not None for r in self.slot_req):
             lens = jnp.asarray(self.slot_lens)
             toks = jnp.asarray(self.slot_last_tok)
             if self._data_sharding is not None:
                 lens = jax.device_put(lens, self._data_sharding)
                 toks = jax.device_put(toks, self._data_sharding)
+            burst = self._burst_size()
+            if burst > 1:
+                toks_block = self._run_decode_burst(toks, lens, burst)
+                for i in range(burst):
+                    for slot, req in enumerate(self.slot_req):
+                        if req is None:
+                            continue
+                        tok = int(toks_block[i, slot])
+                        req.output.append(tok)
+                        self.slot_lens[slot] += 1
+                        self.slot_last_tok[slot] = tok
+                        if self._is_stop(req, tok) or (
+                            self.slot_lens[slot] + 1 >= self.ecfg.max_seq_len
+                        ):
+                            finished.append(self._retire(slot))
+                return finished
             logits, greedy_toks = self._run_decode(toks, lens)
             greedy_toks = np.asarray(greedy_toks)
             for slot, req in enumerate(self.slot_req):

@@ -81,10 +81,13 @@ class TestEngine:
 
         eng = make_engine(params)
         r1 = eng.add_request(p1, SamplingParams(max_new_tokens=10))
+        early = []
         for _ in range(3):
-            eng.step()  # r1 decodes alone for a while
+            # r1 decodes alone for a while; with burst decode it may even
+            # finish here, so collect step()'s finished requests.
+            early.extend(eng.step())
         r2 = eng.add_request(p2, SamplingParams(max_new_tokens=5))
-        done = {r.request_id: r for r in eng.run()}
+        done = {r.request_id: r for r in early + eng.run()}
         assert done[r1.request_id].output == w1
         assert done[r2.request_id].output == w2
 
