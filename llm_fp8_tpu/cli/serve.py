@@ -44,6 +44,11 @@ def build_parser():
                         "flash kernel) instead of the contiguous arena")
     p.add_argument("--page_size", type=int, default=128)
     p.add_argument("--num_pages", type=int, default=512)
+    p.add_argument("--decode_burst", type=int, default=32,
+                   help="Max greedy decode steps fused into one dispatch "
+                        "(lax.scan burst; amortizes per-token host "
+                        "round-trips). 1 = per-step decode; sampled "
+                        "requests always decode per-step")
     p.add_argument("--num_requests", type=int, default=16)
     p.add_argument("--prompt_len", type=int, default=128)
     p.add_argument("--max_new_tokens", type=int, default=64)
@@ -115,7 +120,7 @@ def main(argv=None):
                 max_slots=args.max_slots, num_pages=args.num_pages,
                 page_size=args.page_size,
                 max_pages_per_seq=-(-args.max_seq_len // args.page_size),
-                kv_dtype=kv_dtype,
+                kv_dtype=kv_dtype, decode_burst=args.decode_burst,
             ),
         )
     elif args.draft_model is not None:
@@ -145,7 +150,7 @@ def main(argv=None):
             params, cfg,
             EngineConfig(
                 max_slots=args.max_slots, max_seq_len=args.max_seq_len,
-                kv_dtype=kv_dtype,
+                kv_dtype=kv_dtype, decode_burst=args.decode_burst,
             ),
             forward_fn=entry.forward_fn,
         )
