@@ -46,15 +46,15 @@ def _kernel(
     tables_ref,  # [B, max_pages]
     layer_ref,  # [1]
     # inputs
-    q_ref,  # [1, 1, G8, D] VMEM (grouped q heads, padded to 8 sublanes)
-    alibi_ref,  # [1, 1, G8] VMEM — this KV head's ALiBi slopes (0s if unused)
+    q_ref,  # [1, Hk, G8, D] VMEM (grouped q heads, padded to 8 sublanes)
+    alibi_ref,  # [Hk, 1, G8] VMEM — per-KV-head ALiBi slopes (0s if unused)
     k_pages_ref,  # [P, L, Hk, D, page] HBM (lane-major pages)
     v_pages_ref,  # [P, L, Hk, D, page] HBM
     # output
-    o_ref,  # [1, 1, G8, D]
+    o_ref,  # [1, Hk, G8, D]
     # scratch
-    k_buf,  # [2, D, page] VMEM
-    v_buf,  # [2, D, page] VMEM
+    k_buf,  # [2, Hk, D, page] VMEM
+    v_buf,  # [2, Hk, D, page] VMEM
     sems,  # DMA sems [2, 2]
     *,
     page_size: int,
@@ -65,8 +65,13 @@ def _kernel(
     softcap: Optional[float],
     has_alibi: bool,
 ):
+    # One grid cell per SEQUENCE; each page DMA fetches the whole
+    # [Hk, D, page] slab (contiguous in the pool layout). The original
+    # per-(b, h) design moved the same bytes in Hk x smaller transfers and
+    # was DMA-latency-bound: 8k-context decode measured ~120 ms/step from
+    # ~130k x 16 KB transfers; the slab fetch cuts the transfer count 8x
+    # (Llama-1B geometry) at 8x the size, restoring bandwidth-bound reads.
     b = pl.program_id(0)
-    h = pl.program_id(1)
     length = lengths_ref[b]
     layer = layer_ref[0]
     n_pages = jax.lax.div(length + page_size - 1, page_size)
@@ -74,29 +79,30 @@ def _kernel(
     def start_fetch(slot, page_idx):
         page = tables_ref[b, page_idx]
         pltpu.make_async_copy(
-            k_pages_ref.at[page, layer, h], k_buf.at[slot], sems.at[slot, 0]
+            k_pages_ref.at[page, layer], k_buf.at[slot], sems.at[slot, 0]
         ).start()
         pltpu.make_async_copy(
-            v_pages_ref.at[page, layer, h], v_buf.at[slot], sems.at[slot, 1]
+            v_pages_ref.at[page, layer], v_buf.at[slot], sems.at[slot, 1]
         ).start()
 
     def wait_fetch(slot):
         pltpu.make_async_copy(
-            k_pages_ref.at[0, 0, 0], k_buf.at[slot], sems.at[slot, 0]
+            k_pages_ref.at[0, 0], k_buf.at[slot], sems.at[slot, 0]
         ).wait()
         pltpu.make_async_copy(
-            v_pages_ref.at[0, 0, 0], v_buf.at[slot], sems.at[slot, 1]
+            v_pages_ref.at[0, 0], v_buf.at[slot], sems.at[slot, 1]
         ).wait()
 
     @pl.when(n_pages > 0)
     def _():
         start_fetch(0, 0)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # [G8, D]
-    G8 = q.shape[0]
+    qh = q_ref[0].astype(jnp.float32) * scale  # [Hk, G8, D]
+    Hk, G8, D = qh.shape
+    HG = Hk * G8
 
     def body(i, carry):
-        m, l, acc = carry
+        m, l, acc = carry  # [HG, 1], [HG, 1], [HG, D]
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < n_pages)
@@ -104,22 +110,31 @@ def _kernel(
             start_fetch(1 - slot, i + 1)
 
         wait_fetch(slot)
-        k = k_buf[slot].astype(jnp.float32) * kv_scale  # [D, page]
-        v = v_buf[slot].astype(jnp.float32) * kv_scale  # [D, page]
-
-        s = jax.lax.dot(q, k, preferred_element_type=jnp.float32)  # [G8, page]
-        if softcap is not None:
-            s = softcap * jnp.tanh(s / softcap)
         pos = i * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (G8, page_size), 1
+            jnp.int32, (HG, page_size), 1
         )
-        if has_alibi:
-            # ALiBi bias after softcap (flash-kernel ordering). The decode
-            # token is at position length-1 ≥ every valid k position, so
-            # -slope·|q_pos - k_pos| = slope·(pos - (length-1)). The BlockSpec
-            # index map already selected this KV head's G8 slope rows.
-            slope = alibi_ref[0, 0][:, None]  # [G8, 1]
-            s = s + slope * (pos - (length - 1)).astype(jnp.float32)
+        # Per-head scores on the VMEM-resident slab (the kv heads are
+        # independent contractions, so the head loop is unrolled into Hk
+        # small MXU dots), stacked back to [HG, page] rows matching q's
+        # (head-major) packing.
+        parts = []
+        for h in range(Hk):
+            kh = k_buf[slot, h].astype(jnp.float32) * kv_scale  # [D, page]
+            sh = jax.lax.dot(qh[h], kh, preferred_element_type=jnp.float32)
+            if softcap is not None:
+                sh = softcap * jnp.tanh(sh / softcap)
+            if has_alibi:
+                # ALiBi bias after softcap (flash-kernel ordering). The
+                # decode token is at position length-1 ≥ every valid k
+                # position, so -slope·|q_pos - k_pos| =
+                # slope·(pos - (length-1)).
+                slope = alibi_ref[h, 0][:, None]  # [G8, 1]
+                ph = i * page_size + jax.lax.broadcasted_iota(
+                    jnp.int32, (G8, page_size), 1
+                )
+                sh = sh + slope * (ph - (length - 1)).astype(jnp.float32)
+            parts.append(sh)
+        s = jnp.concatenate(parts, axis=0)  # [HG, page]
         mask = pos < length
         if window is not None:
             # The decode token sits at absolute position length-1.
@@ -131,21 +146,26 @@ def _kernel(
         alpha = jnp.exp(m - m_next)
         p = jnp.exp(s - m_next)
         l_next = alpha * l + jnp.sum(p, axis=1, keepdims=True)
-        # p [G8, page] · v [D, page] contracted over the page axis.
-        acc_next = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        # p rows [G8, page] · v [D, page] contracted over the page axis,
+        # per head.
+        pv_parts = []
+        for h in range(Hk):
+            vh = v_buf[slot, h].astype(jnp.float32) * kv_scale  # [D, page]
+            pv_parts.append(jax.lax.dot_general(
+                p[h * G8:(h + 1) * G8], vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        acc_next = acc * alpha + jnp.concatenate(pv_parts, axis=0)
         return m_next, l_next, acc_next
 
-    D = q.shape[-1]
     init = (
-        jnp.full((G8, 1), -jnp.inf, jnp.float32),
-        jnp.zeros((G8, 1), jnp.float32),
-        jnp.zeros((G8, D), jnp.float32),
+        jnp.full((HG, 1), -jnp.inf, jnp.float32),
+        jnp.zeros((HG, 1), jnp.float32),
+        jnp.zeros((HG, D), jnp.float32),
     )
     m, l, acc = jax.lax.fori_loop(0, n_pages, body, init)
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    o_ref[0, 0] = (acc * l_inv).astype(o_ref.dtype)
+    o_ref[0] = (acc * l_inv).reshape(Hk, G8, D).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -220,27 +240,27 @@ def paged_attention(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B, Hk),
+            grid=(B,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, G8, D), lambda b, h, *_: (b, h, 0, 0)
+                    (1, Hk, G8, D), lambda b, *_: (b, 0, 0, 0)
                 ),
-                pl.BlockSpec((1, 1, G8), lambda b, h, *_: (h, 0, 0)),
+                pl.BlockSpec((Hk, 1, G8), lambda b, *_: (0, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),  # k pages stay in HBM
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, G8, D), lambda b, h, *_: (b, h, 0, 0)
+                (1, Hk, G8, D), lambda b, *_: (b, 0, 0, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, D, page_size), k_pages.dtype),
-                pltpu.VMEM((2, D, page_size), v_pages.dtype),
+                pltpu.VMEM((2, Hk, D, page_size), k_pages.dtype),
+                pltpu.VMEM((2, Hk, D, page_size), v_pages.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hk, G8, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(lengths, page_tables, layer_idx, qg, alibi_arr, k_pages, v_pages)

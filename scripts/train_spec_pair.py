@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 
 def train_one(model_name, train_seqs, steps, seq_len, batch, out_dir,
-              *, remat, adam_mu_dtype, lr, eval_seqs=None):
+              *, remat, adam_mu_dtype, lr, eval_seqs=None,
+              param_dtype="float32"):
     from llm_fp8_tpu.models import get_config, init_params
     from llm_fp8_tpu.training import TrainConfig, Trainer
     from llm_fp8_tpu.training.checkpoint import export_hf
@@ -43,7 +44,8 @@ def train_one(model_name, train_seqs, steps, seq_len, batch, out_dir,
         total_steps=steps, schedule="cosine", recipes="bf16",
         remat=remat, adam_mu_dtype=adam_mu_dtype,
     ))
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0),
+                         dtype=jnp.dtype(param_dtype))
     state = trainer.init_state(params)
     n = 0
     t0 = time.perf_counter()
@@ -109,11 +111,14 @@ def main():
             args.batch, f"{args.out}/draft", remat=False,
             adam_mu_dtype=None, lr=3e-4, eval_seqs=eval_seqs)
     if args.only in (None, "target"):
-        # 1B on one 16 GB chip: dots remat + bf16 mu (BENCH_TRAIN.json note).
+        # 1B on one 16 GB chip: dots remat + bf16 mu + bf16 master weights
+        # (f32 params put the AdamW state at 19.6 GB — measured compile-OOM;
+        # BENCH_TRAIN.json trains the same model in bf16).
         results["target"] = train_one(
             args.target, train_seqs, args.target_steps, args.seq_len,
             args.batch, f"{args.out}/target", remat="dots",
-            adam_mu_dtype="bfloat16", lr=1e-4, eval_seqs=eval_seqs)
+            adam_mu_dtype="bfloat16", lr=1e-4, eval_seqs=eval_seqs,
+            param_dtype="bfloat16")
     with open(f"{args.out}/train_summary.json", "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results), flush=True)
