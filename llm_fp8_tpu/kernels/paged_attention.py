@@ -59,41 +59,57 @@ def _kernel(
     *,
     page_size: int,
     max_pages: int,
+    nf: int,
     scale: float,
     kv_scale: float,
     window: Optional[int],
     softcap: Optional[float],
     has_alibi: bool,
 ):
-    # One grid cell per SEQUENCE; each page DMA fetches the whole
-    # [Hk, D, page] slab (contiguous in the pool layout). The original
-    # per-(b, h) design moved the same bytes in Hk x smaller transfers and
-    # was DMA-latency-bound: 8k-context decode measured ~120 ms/step from
-    # ~130k x 16 KB transfers; the slab fetch cuts the transfer count 8x
-    # (Llama-1B geometry) at 8x the size, restoring bandwidth-bound reads.
+    # One grid cell per SEQUENCE; each loop iteration fetches a GROUP of
+    # ``nf`` pages, each as one whole [Hk, D, page] slab (contiguous in the
+    # pool layout), into a wide double-buffered VMEM tile [Hk, D, nf·page].
+    # Two designs measured slower on-chip (8k context, Llama-1B geometry):
+    #   * per-(b, h) page DMAs (~130k × 16 KB/step): ~120 ms/step;
+    #   * per-page slab DMAs, grid (B,): still DMA-ISSUE-latency-bound —
+    #     512 sequential ~8 µs loop iterations/layer = 15 GiB/s effective.
+    # Grouping puts 2·nf copies in flight per iteration and widens the MXU
+    # dots to nf·page lanes, amortizing the scalar-core issue cost.
     b = pl.program_id(0)
     length = lengths_ref[b]
     layer = layer_ref[0]
-    n_pages = jax.lax.div(length + page_size - 1, page_size)
+    group = nf * page_size
+    n_groups = jax.lax.div(length + group - 1, group)
 
-    def start_fetch(slot, page_idx):
-        page = tables_ref[b, page_idx]
-        pltpu.make_async_copy(
-            k_pages_ref.at[page, layer], k_buf.at[slot], sems.at[slot, 0]
-        ).start()
-        pltpu.make_async_copy(
-            v_pages_ref.at[page, layer], v_buf.at[slot], sems.at[slot, 1]
-        ).start()
+    def start_fetch(slot, group_idx):
+        for j in range(nf):  # static unroll: 2*nf DMAs in flight
+            idx = jnp.minimum(group_idx * nf + j, max_pages - 1)
+            page = tables_ref[b, idx]
+            pltpu.make_async_copy(
+                k_pages_ref.at[page, layer],
+                k_buf.at[slot, :, :, pl.ds(j * page_size, page_size)],
+                sems.at[slot, 0, j],
+            ).start()
+            pltpu.make_async_copy(
+                v_pages_ref.at[page, layer],
+                v_buf.at[slot, :, :, pl.ds(j * page_size, page_size)],
+                sems.at[slot, 1, j],
+            ).start()
 
     def wait_fetch(slot):
-        pltpu.make_async_copy(
-            k_pages_ref.at[0, 0], k_buf.at[slot], sems.at[slot, 0]
-        ).wait()
-        pltpu.make_async_copy(
-            v_pages_ref.at[0, 0], v_buf.at[slot], sems.at[slot, 1]
-        ).wait()
+        for j in range(nf):
+            pltpu.make_async_copy(
+                k_pages_ref.at[0, 0],
+                k_buf.at[slot, :, :, pl.ds(j * page_size, page_size)],
+                sems.at[slot, 0, j],
+            ).wait()
+            pltpu.make_async_copy(
+                v_pages_ref.at[0, 0],
+                v_buf.at[slot, :, :, pl.ds(j * page_size, page_size)],
+                sems.at[slot, 1, j],
+            ).wait()
 
-    @pl.when(n_pages > 0)
+    @pl.when(n_groups > 0)
     def _():
         start_fetch(0, 0)
 
@@ -105,21 +121,21 @@ def _kernel(
         m, l, acc = carry  # [HG, 1], [HG, 1], [HG, D]
         slot = jax.lax.rem(i, 2)
 
-        @pl.when(i + 1 < n_pages)
+        @pl.when(i + 1 < n_groups)
         def _():
             start_fetch(1 - slot, i + 1)
 
         wait_fetch(slot)
-        pos = i * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (HG, page_size), 1
+        pos = i * group + jax.lax.broadcasted_iota(
+            jnp.int32, (HG, group), 1
         )
-        # Per-head scores on the VMEM-resident slab (the kv heads are
+        # Per-head scores on the VMEM-resident group (the kv heads are
         # independent contractions, so the head loop is unrolled into Hk
-        # small MXU dots), stacked back to [HG, page] rows matching q's
-        # (head-major) packing.
+        # MXU dots of nf·page lanes each), stacked back to [HG, group]
+        # rows matching q's (head-major) packing.
         parts = []
         for h in range(Hk):
-            kh = k_buf[slot, h].astype(jnp.float32) * kv_scale  # [D, page]
+            kh = k_buf[slot, h].astype(jnp.float32) * kv_scale  # [D, group]
             sh = jax.lax.dot(qh[h], kh, preferred_element_type=jnp.float32)
             if softcap is not None:
                 sh = softcap * jnp.tanh(sh / softcap)
@@ -129,12 +145,12 @@ def _kernel(
                 # position, so -slope·|q_pos - k_pos| =
                 # slope·(pos - (length-1)).
                 slope = alibi_ref[h, 0][:, None]  # [G8, 1]
-                ph = i * page_size + jax.lax.broadcasted_iota(
-                    jnp.int32, (G8, page_size), 1
+                ph = i * group + jax.lax.broadcasted_iota(
+                    jnp.int32, (G8, group), 1
                 )
                 sh = sh + slope * (ph - (length - 1)).astype(jnp.float32)
             parts.append(sh)
-        s = jnp.concatenate(parts, axis=0)  # [HG, page]
+        s = jnp.concatenate(parts, axis=0)  # [HG, group]
         mask = pos < length
         if window is not None:
             # The decode token sits at absolute position length-1.
@@ -146,11 +162,11 @@ def _kernel(
         alpha = jnp.exp(m - m_next)
         p = jnp.exp(s - m_next)
         l_next = alpha * l + jnp.sum(p, axis=1, keepdims=True)
-        # p rows [G8, page] · v [D, page] contracted over the page axis,
+        # p rows [G8, group] · v [D, group] contracted over the group axis,
         # per head.
         pv_parts = []
         for h in range(Hk):
-            vh = v_buf[slot, h].astype(jnp.float32) * kv_scale  # [D, page]
+            vh = v_buf[slot, h].astype(jnp.float32) * kv_scale  # [D, group]
             pv_parts.append(jax.lax.dot_general(
                 p[h * G8:(h + 1) * G8], vh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -163,7 +179,7 @@ def _kernel(
         jnp.zeros((HG, 1), jnp.float32),
         jnp.zeros((HG, D), jnp.float32),
     )
-    m, l, acc = jax.lax.fori_loop(0, n_pages, body, init)
+    m, l, acc = jax.lax.fori_loop(0, n_groups, body, init)
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
     o_ref[0] = (acc * l_inv).reshape(Hk, G8, D).astype(o_ref.dtype)
 
@@ -171,7 +187,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "kv_scale", "window", "softcap", "alibi_slopes",
-                     "interpret"),
+                     "interpret", "pages_per_fetch"),
 )
 def paged_attention(
     q: jax.Array,  # [B, Hq, D]
@@ -187,6 +203,7 @@ def paged_attention(
     softcap: Optional[float] = None,
     alibi_slopes: Optional[tuple] = None,  # [Hq] floats, hashable (static)
     interpret: Optional[bool] = None,
+    pages_per_fetch: int = 8,
 ) -> jax.Array:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -199,6 +216,7 @@ def paged_attention(
         )
     groups = Hq // Hk
     max_pages = page_tables.shape[1]
+    nf = max(1, min(pages_per_fetch, max_pages))
     scale = scale if scale is not None else D ** -0.5
     layer_idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
@@ -229,6 +247,7 @@ def paged_attention(
         _kernel,
         page_size=page_size,
         max_pages=max_pages,
+        nf=nf,
         scale=scale,
         kv_scale=kv_scale,
         window=window,
@@ -253,9 +272,9 @@ def paged_attention(
                 (1, Hk, G8, D), lambda b, *_: (b, 0, 0, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, Hk, D, page_size), k_pages.dtype),
-                pltpu.VMEM((2, Hk, D, page_size), v_pages.dtype),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((2, Hk, D, nf * page_size), k_pages.dtype),
+                pltpu.VMEM((2, Hk, D, nf * page_size), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2, 2, nf)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hk, G8, D), q.dtype),
