@@ -7,26 +7,29 @@ serves twice the batch — that capacity is where FP8 wins on v5e, whose MXU
 has no native fp8 (dequant is VPU software, so per-step latency alone does
 not improve; on fp8-MXU parts the native route in quant/dot.py applies).
 
-Measured v5e trade-off (docs/PERF_NOTES.md): fp8 *weights* halve the model
-footprint, freeing HBM for ~5x the decode batch at the bf16 config's
-footprint; the fp8 *KV cache* hurts on v5e (every cache byte pays the
-software dequant each step), so the winning config is fp8 weights + bf16 KV.
+Measured v5e trade-off (docs/PERF_NOTES.md): int8 weights (hardware
+int8->bf16 convert) beat fp8 (VPU software dequant) at every scale; int8 KV
+doubles the seated batch again. The ladder below reports bf16 / fp8 / int8 /
+int8-KV at 1B (headline ratio), 3B (the paper's geometry), 8B (BASELINE.json
+model), plus the MLA compressed-latent capacity config.
 
-Architecture (round-3): every leg runs in its OWN child process. Round-2
-lesson: the 8B leg (the BASELINE.json headline model) died with
-RESOURCE_EXHAUSTED because earlier legs in the same process fragmented the
-HBM heap; a child process tears the PJRT client (and all device memory)
-down completely between legs. The parent orchestrates legs under a
-wall-clock budget, merges each leg's JSON into a cumulative result, and
-re-prints the superset line after every leg — the driver parses the LAST
-JSON line, and a kill at any point leaves the best-so-far evidence.
+Architecture (round-5). Two r4 lessons drive the layout:
+  * The axon backend does NOT write JAX's persistent compilation cache
+    (verified: jit on TPU leaves the cache dir empty), and the remote
+    compile helper's latency varies 2-8x with co-tenant load — so compile
+    time, not measurement time, is the budget. Legs are grouped ONE CHILD
+    PER MODEL: within a process, later shape variants of the same program
+    family compile in ~7-10s where the first costs 40s+.
+  * `BENCH_r04.json` was rc=124 with 2 legs: the driver's window is smaller
+    than the 2700s plan. Children stream a cumulative JSON line after EVERY
+    measurement and the parent re-prints the merged superset immediately —
+    a kill at any instant keeps everything measured so far. The budget
+    default assumes ~19 min.
 
-Leg order: 1b (the headline ratio — printed first so a driver timeout still
-captures the metric), 8b (the BASELINE.json model, fresh process), 3b
-bf16+fp8 (the paper's headline geometry, Llama-3.2-3B — the only model that
-fits the chip in BOTH precisions, so the only same-chip paper-scale A/B),
-int8 / int8-KV (the v5e-native 1-byte formats), MLA (compressed-latent
-capacity config).
+Param construction is value-independent for throughput (same MXU/HBM work),
+so all legs build weights directly in their storage format with ONE fused
+jit (random bits -> bitcast) instead of init_params' per-leaf RNG programs
++ quantize pass — that pair alone cost 60-180s per leg in r4.
 
 Prints ONE JSON line (repeatedly, as a growing superset):
   {"metric": "fp8_decode_throughput_vs_bf16_equal_hbm_llama1b",
@@ -35,8 +38,10 @@ Prints ONE JSON line (repeatedly, as a growing superset):
 import functools
 import json
 import os
+import queue
 import subprocess
 import sys
+import threading
 import time
 
 BATCH_BF16 = 8
@@ -46,7 +51,7 @@ BATCH_FP8 = 44
 # int8 KV halves the per-seq cache (16.75 MB at cache 1024) -> batch ~88 at
 # the same footprint (88 x 16.75 MB + 1.24 GB ~= 2.71 GB).
 BATCH_INT8KV = 88
-# 3B equal-HBM: bf16 weights 6.43 GB + 8 x 117 MB cache = 7.4 GB; fp8
+# 3B equal-HBM: bf16 weights 6.43 GB + 8 x 117 MB cache = 7.4 GB; 1-byte
 # weights 3.2 GB leave the same envelope seating ~36 sequences.
 BATCH_3B_BF16 = 8
 BATCH_3B_FP8 = 36
@@ -57,20 +62,12 @@ CTX = 512  # cache fill at steady state
 CACHE_LEN = 1024
 ITERS = 128  # enough for a stable ratio; keeps total wall time under budget
 
-# Wall-clock budget (s) for the whole script (round-1 lesson: a driver
-# timeout before the final print yields NO captured evidence — rc=124).
-# Measured r3: the 1b+8b+3b-pair legs take ~1170s over the tunnel even with
-# the persistent compile cache, and the int8 leg alone needs >190s — the
-# r4 plan has 11 legs, so 2700s. Safe to raise because a superset JSON line
-# is printed after EVERY leg — a driver kill at any point still leaves the
-# latest evidence on stdout, priority-ordered (1b headline, then the 3B
-# paper-scale ladder, then 8B).
-BUDGET_S = float(os.environ.get("LLM_FP8_BENCH_BUDGET_S", "2700"))
+# Wall-clock budget (s) for the whole script. r4 lesson: the driver window
+# is SMALLER than the builder-side runs suggested (BENCH_r04.json died at 2
+# legs of an 11-leg/2700s plan). Per-measurement streaming means any budget
+# overrun only truncates the tail, never the already-printed evidence.
+BUDGET_S = float(os.environ.get("LLM_FP8_BENCH_BUDGET_S", "1150"))
 _T0 = time.monotonic()
-
-# Persistent compilation cache: children (and later driver runs) reuse
-# compiled executables instead of paying 20-40s per jit each.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/llm_fp8_jax_cache")
 
 
 def _remaining():
@@ -106,6 +103,8 @@ def _time_loop(run):
     global _STEADY_FOOTPRINT_GB
     import jax
 
+    _STEADY_FOOTPRINT_GB = None  # reset: a failed run must not inherit the
+    # previous measurement's footprint (advisor r4)
     _sync(run())
     _STEADY_FOOTPRINT_GB = round(
         sum(a.nbytes for a in jax.live_arrays()) / 1024 ** 3, 2
@@ -123,7 +122,8 @@ def _peak_hbm_gb():
     memory next to tokens/s per precision config
     (thesis/chapters/c3/c3_methodology.tex:46-52). On axon (no PJRT
     memory_stats) this is the steady-state live-buffer footprint captured
-    by _time_loop after warmup."""
+    by _time_loop after warmup (compile/prefill transients excluded —
+    see ``hbm_note`` in the emitted JSON)."""
     from llm_fp8_tpu.utils.monitor import device_memory_stats
 
     try:
@@ -133,6 +133,18 @@ def _peak_hbm_gb():
     except Exception:  # noqa: BLE001 — stats exposure is backend-dependent
         pass
     return _STEADY_FOOTPRINT_GB
+
+
+def _emit(partial):
+    """Child-side: print a cumulative JSON line after each measurement.
+    The parent streams these and re-prints the merged superset, so a kill
+    at any point keeps every number measured so far."""
+    print(json.dumps(partial), flush=True)
+
+
+def _note(msg):
+    print(f"[{time.monotonic() - _T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def bench_decode(params, cfg, kv_dtype, batch, attn_impl="auto"):
@@ -253,10 +265,17 @@ def _ladder(fn, batches, label):
         except Exception as e:  # noqa: BLE001
             if not any(tag in str(e) for tag in _RETRYABLE):
                 raise
-            print(f"{label} OOM/compile-fail at batch {b}, retrying smaller",
-                  file=sys.stderr)
+            # Full text to stderr: a genuine kernel/lowering bug that
+            # surfaces through the compile helper must be visible in the
+            # bench log, not silently laddered past (advisor r4).
+            _note(f"{label} failed at batch {b}, retrying smaller. "
+                  f"Exception: {str(e)[:2000]}")
     raise RuntimeError(f"{label} OOM at every batch tried {batches}")
 
+
+# --------------------------------------------------------------------------
+# Fast param construction — all formats, one fused jit per leaf
+# --------------------------------------------------------------------------
 
 def _fake_quantized_params(cfg, fmt="fp8"):
     """Build LAYERWISE-quantized params directly in 1-byte storage — the
@@ -322,6 +341,45 @@ def _fake_quantized_params(cfg, fmt="fp8"):
     return params
 
 
+def _fast_bf16_params(cfg):
+    """bf16 params via cheap fused RNG jits — same structure as
+    ``init_params`` but ~5s instead of 50-110s: the per-leaf normal-init
+    programs were the single largest compile cost in the r4 bench legs
+    (decode throughput is weight-value-independent, so any non-degenerate
+    random values measure identically)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = iter(jax.random.split(jax.random.PRNGKey(0), 16))
+    D, I, V, L = (cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size,
+                  cfg.num_layers)
+
+    @functools.partial(jax.jit, static_argnames=("shape",))
+    def _random_bf16(k, shape):
+        # Uniform bits -> center -> scale: one fused 2-byte-output program
+        # (normal() is fine too, but bits+scale compiles faster remotely).
+        bits = jax.random.bits(k, shape, dtype=jnp.uint16)
+        return ((bits.astype(jnp.float32) / 32768.0 - 1.0) * 0.02).astype(
+            jnp.bfloat16)
+
+    layers = {
+        "wqkv": _random_bf16(next(key), (L, D, cfg.qkv_dim)),
+        "wo": _random_bf16(next(key), (L, cfg.q_dim, D)),
+        "w_gate_up": _random_bf16(next(key), (L, D, 2 * I)),
+        "w_down": _random_bf16(next(key), (L, I, D)),
+        "norm_attn": jnp.ones((L, D), jnp.bfloat16),
+        "norm_mlp": jnp.ones((L, D), jnp.bfloat16),
+    }
+    params = {
+        "embed": _random_bf16(next(key), (V, D)),
+        "layers": layers,
+        "final_norm": jnp.ones((D,), jnp.bfloat16),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _random_bf16(next(key), (D, V))
+    return params
+
+
 def _mla_1b_config():
     """llama-3.2-1b's shape with MLA attention, all layers dense — the
     equal-HBM capacity comparison subject (scripts/bench_mla.py docstring
@@ -340,234 +398,161 @@ def _mla_1b_config():
 
 
 # --------------------------------------------------------------------------
-# Legs — each runs in its own child process (fresh PJRT client, fresh HBM)
+# Legs — ONE CHILD PER MODEL (compile amortization: within a process the
+# second+ shape variant of a program family compiles in ~7-10s where the
+# first costs 40s+ over the remote helper). Each measurement _emit()s the
+# cumulative dict, so evidence streams out as it lands.
 # --------------------------------------------------------------------------
 
 def leg_1b():
-    """Headline ratio: 1B bf16 @8 vs LAYERWISE fp8 @44 (equal HBM)."""
-    import jax
+    """1B ladder: bf16@8 baseline, fp8@44 (the headline equal-HBM ratio),
+    int8@44, int8-KV arena@88."""
     import jax.numpy as jnp
-    from llm_fp8_tpu.models import get_config, init_params, quantize_params
-    from llm_fp8_tpu.quant import LAYERWISE
+    from llm_fp8_tpu.models import get_config
 
     cfg = get_config("llama-3.2-1b")
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    out = {}
+
+    params = _fast_bf16_params(cfg)
     bf16_tps = bench_decode(params, cfg, jnp.bfloat16, BATCH_BF16)
-    out = {"bf16_tokens_per_s": round(bf16_tps, 1), "bf16_batch": BATCH_BF16}
-    # fp8 weights + bf16 KV: fp8 KV would pay software dequant per cache byte
-    # on v5e (measured 0.37x); bf16 KV keeps attention at full speed.
-    qparams = quantize_params(params, LAYERWISE)
+    out.update(bf16_tokens_per_s=round(bf16_tps, 1), bf16_batch=BATCH_BF16,
+               bf16_peak_hbm_gb=_peak_hbm_gb())
+    _emit(out)
     del params
+
+    # fp8 weights + bf16 KV: fp8 KV would pay software dequant per cache
+    # byte on v5e (measured 0.37x); bf16 KV keeps attention at full speed.
+    # Default QDOT route (as in r2-r4 legs — keeps the headline comparable).
+    qparams = _fake_quantized_params(cfg, fmt="fp8")
     fp8_tps, fp8_batch = _ladder(
         lambda b: bench_decode(qparams, cfg, jnp.bfloat16, b),
         (BATCH_FP8, 36, 28), "1b fp8")
-    out["fp8_tokens_per_s"] = round(fp8_tps, 1)
-    out["fp8_batch"] = fp8_batch
-    out["fp8_peak_hbm_gb"] = _peak_hbm_gb()
-    return out
+    out.update(fp8_tokens_per_s=round(fp8_tps, 1), fp8_batch=fp8_batch,
+               fp8_peak_hbm_gb=_peak_hbm_gb())
+    _emit(out)
+    del qparams
 
-
-def leg_int8():
-    """int8 weight storage: the v5e-native 1-byte format (hardware
-    int8->bf16 convert vs fp8's VPU-software dequant) — measured the
-    fastest same-batch serving config on this chip (docs/PERF_NOTES.md)."""
-    import jax
-    import jax.numpy as jnp
-    from llm_fp8_tpu.models import get_config, init_params, quantize_params
-    from llm_fp8_tpu.quant import recipe_set_by_name
-
-    cfg = get_config("llama-3.2-1b")
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    q_int8 = quantize_params(params, recipe_set_by_name("int8"))
-    del params
+    q_int8 = _fake_quantized_params(cfg, fmt="int8")
     tps, batch = _ladder(
         lambda b: bench_decode(q_int8, cfg, jnp.bfloat16, b),
         (BATCH_FP8, 36, 28), "1b int8")
-    return {"int8_tokens_per_s": round(tps, 1), "int8_batch": batch,
-            "int8_peak_hbm_gb": _peak_hbm_gb()}
+    out.update(int8_tokens_per_s=round(tps, 1), int8_batch=batch,
+               int8_peak_hbm_gb=_peak_hbm_gb())
+    _emit(out)
 
-
-def leg_int8kv():
-    """int8 weights + int8 arena KV: halving KV bytes seats ~2x the batch
-    at the same footprint; the int8->bf16 arena convert is hardware
-    (docs/PERF_NOTES.md "int8 KV cache"). Fused arena decode path."""
-    import jax
-    import jax.numpy as jnp
-    from llm_fp8_tpu.models import get_config, init_params, quantize_params
-    from llm_fp8_tpu.quant import recipe_set_by_name
-
-    cfg = get_config("llama-3.2-1b")
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    q_int8 = quantize_params(params, recipe_set_by_name("int8"))
-    del params
     tps, batch = _ladder(
         lambda b: bench_decode_arena(q_int8, cfg, jnp.int8, b),
         (BATCH_INT8KV, 64, 48), "1b int8-KV")
-    return {"int8kv_tokens_per_s": round(tps, 1), "int8kv_batch": batch,
-            "int8kv_peak_hbm_gb": _peak_hbm_gb()}
+    out.update(int8kv_tokens_per_s=round(tps, 1), int8kv_batch=batch,
+               int8kv_peak_hbm_gb=_peak_hbm_gb())
+    _emit(out)
+    return out
+
+
+def leg_3b():
+    """Paper-scale geometry (Llama-3.2-3B, conference_101719.tex:258-260):
+    the largest model that fits this chip in BOTH precisions — the only
+    same-chip bf16-vs-quantized A/B at a published-model size. Order:
+    int8 (the r3 VERDICT's top ask) -> bf16 baseline -> int8-KV -> fp8."""
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models import get_config
+
+    cfg = get_config("llama-3.2-3b")
+    out = {}
+
+    q_int8 = _fake_quantized_params(cfg, fmt="int8")
+    tps, batch = _ladder(
+        lambda b: bench_decode(q_int8, cfg, jnp.bfloat16, b),
+        (BATCH_3B_FP8, 28, 20), "3b int8")
+    out.update(llama3b_int8_tokens_per_s=round(tps, 1),
+               llama3b_int8_batch=batch,
+               llama3b_int8_peak_hbm_gb=_peak_hbm_gb())
+    _emit(out)
+
+    params = _fast_bf16_params(cfg)
+    tps, batch = _ladder(
+        lambda b: bench_decode(params, cfg, jnp.bfloat16, b),
+        (BATCH_3B_BF16, 6, 4), "3b bf16")
+    out.update(llama3b_bf16_tokens_per_s=round(tps, 1),
+               llama3b_bf16_batch=batch,
+               llama3b_bf16_peak_hbm_gb=_peak_hbm_gb())
+    _emit(out)
+    del params
+
+    tps, batch = _ladder(
+        lambda b: bench_decode_arena(q_int8, cfg, jnp.int8, b),
+        (72, 64, 56, 48), "3b int8-KV")
+    out.update(llama3b_int8kv_tokens_per_s=round(tps, 1),
+               llama3b_int8kv_batch=batch,
+               llama3b_int8kv_peak_hbm_gb=_peak_hbm_gb())
+    _emit(out)
+    del q_int8
+
+    os.environ["LLM_FP8_QDOT"] = "fused"
+    qparams = _fake_quantized_params(cfg, fmt="fp8")
+    tps, batch = _ladder(
+        lambda b: bench_decode(qparams, cfg, jnp.bfloat16, b),
+        (BATCH_3B_FP8, 28, 20), "3b fp8")
+    out.update(llama3b_fp8_tokens_per_s=round(tps, 1),
+               llama3b_fp8_batch=batch,
+               llama3b_fp8_peak_hbm_gb=_peak_hbm_gb())
+    _emit(out)
+    return out
 
 
 def leg_8b():
-    """The BASELINE.json headline: Llama-3.1-8B FP8 decode tokens/s/chip.
+    """The BASELINE.json headline: Llama-3.1-8B decode tokens/s/chip.
 
-    bf16 8B weighs 16 GB — it does not fit one v5e chip at all; FP8 is what
-    makes single-chip 8B serving possible (the capacity win)."""
-    from llm_fp8_tpu.models import get_config
+    bf16 8B weighs 16 GB — it does not fit one v5e chip at all; 1-byte
+    weights are what makes single-chip 8B serving possible. Order: int8
+    (fastest v5e format) -> int8-KV -> fp8."""
     import jax.numpy as jnp
+    from llm_fp8_tpu.models import get_config
+
+    cfg = get_config("llama-3.1-8b")
+    out = {"llama8b_bf16": "OOM (16GB weights > chip HBM)"}
+
+    def run_int8(b):
+        # 8 GB weights + B x 134 MB cache: 44 -> 13.9 GB (fits 15.7).
+        return bench_decode(q_int8, cfg, jnp.bfloat16, b)
+
+    q_int8 = _fake_quantized_params(cfg, fmt="int8")
+    tps, batch = _ladder(run_int8, (44, 36, 28, 16, 8), "8b int8")
+    out.update(llama8b_int8_tokens_per_s=round(tps, 1),
+               llama8b_int8_batch=batch,
+               llama8b_int8_peak_hbm_gb=_peak_hbm_gb())
+    _emit(out)
+
+    tps, batch = _ladder(
+        lambda b: bench_decode_arena(q_int8, cfg, jnp.int8, b),
+        (88, 72, 56, 40, 24), "8b int8-KV")
+    out.update(llama8b_int8kv_tokens_per_s=round(tps, 1),
+               llama8b_int8kv_batch=batch,
+               llama8b_int8kv_peak_hbm_gb=_peak_hbm_gb())
+    _emit(out)
+    del q_int8
 
     # Fused kernel path: streams fp8 from HBM without a bf16 weight copy
     # (the XLA path can hoist loop-invariant dequantized weights out of
     # the decode scan — 14 GB of bf16 for 8B, instant OOM).
     os.environ["LLM_FP8_QDOT"] = "fused"
-    cfg = get_config("llama-3.1-8b")
 
-    def run(b):
+    def run_fp8(b):
         # Param construction inside the ladder: on a time-shared chip even
         # the 8 GB fp8 weight build can lose a race with a co-tenant; a
         # retry after the failed attempt's buffers are freed can succeed.
-        qparams = _fake_quantized_params(cfg)
-        try:
-            # bf16 KV (fp8 KV pays software dequant per cache byte on v5e).
-            return bench_decode(qparams, cfg, jnp.bfloat16, b)
-        finally:
-            del qparams
-
-    # Ladder starts at 28: the int8 leg measured 28 x 134 MB cache + 8 GB
-    # weights at 11.96 GB peak, so the same-size fp8 weights seat the same
-    # batch (r2's batch-8 cap was co-tenant OOM caution that cost 3.5x in
-    # reported throughput). Batch 8 listed twice: the first failure is often
-    # transient contention and a retry succeeds once buffers are freed.
-    tps, batch = _ladder(run, (28, 16, 8, 8, 4), "8b fp8")
-    return {"llama8b_fp8_tokens_per_s": round(tps, 1),
-            "llama8b_fp8_batch": batch,
-            "llama8b_fp8_peak_hbm_gb": _peak_hbm_gb(),
-            "llama8b_bf16": "OOM (16GB weights > chip HBM)"}
-
-
-def leg_3b_bf16():
-    """Paper-scale geometry (Llama-3.2-3B, conference_101719.tex:258-260):
-    the largest model that fits this chip in BOTH precisions — the only
-    same-chip bf16-vs-fp8 A/B at a published-model size."""
-    import jax
-    import jax.numpy as jnp
-    from llm_fp8_tpu.models import get_config, init_params
-
-    cfg = get_config("llama-3.2-3b")
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    tps, batch = _ladder(
-        lambda b: bench_decode(params, cfg, jnp.bfloat16, b),
-        (BATCH_3B_BF16, 6, 4), "3b bf16")
-    return {"llama3b_bf16_tokens_per_s": round(tps, 1),
-            "llama3b_bf16_batch": batch,
-            "llama3b_bf16_peak_hbm_gb": _peak_hbm_gb()}
-
-
-def leg_3b_fp8():
-    """3B fp8 at the bf16 leg's HBM envelope (fused fp8 streaming path)."""
-    import jax.numpy as jnp
-    from llm_fp8_tpu.models import get_config
-
-    os.environ["LLM_FP8_QDOT"] = "fused"
-    cfg = get_config("llama-3.2-3b")
-
-    def run(b):
-        qparams = _fake_quantized_params(cfg)
+        qparams = _fake_quantized_params(cfg, fmt="fp8")
         try:
             return bench_decode(qparams, cfg, jnp.bfloat16, b)
         finally:
             del qparams
 
-    tps, batch = _ladder(run, (BATCH_3B_FP8, 28, 20), "3b fp8")
-    return {"llama3b_fp8_tokens_per_s": round(tps, 1),
-            "llama3b_fp8_batch": batch,
-            "llama3b_fp8_peak_hbm_gb": _peak_hbm_gb()}
-
-
-def leg_3b_int8():
-    """3B int8 weights + bf16 KV at the bf16@8 HBM envelope — the v5e
-    1-byte format whose dequant is a hardware convert (int8 measured 2.40x
-    at 1B where fp8's VPU-software dequant does 2.38x only via batch)."""
-    import jax.numpy as jnp
-    from llm_fp8_tpu.models import get_config
-
-    cfg = get_config("llama-3.2-3b")
-
-    def run(b):
-        qparams = _fake_quantized_params(cfg, fmt="int8")
-        try:
-            return bench_decode(qparams, cfg, jnp.bfloat16, b)
-        finally:
-            del qparams
-
-    tps, batch = _ladder(run, (BATCH_3B_FP8, 28, 20), "3b int8")
-    return {"llama3b_int8_tokens_per_s": round(tps, 1),
-            "llama3b_int8_batch": batch,
-            "llama3b_int8_peak_hbm_gb": _peak_hbm_gb()}
-
-
-def leg_3b_int8kv():
-    """3B int8 weights + int8 arena KV: halved cache bytes seat ~2x the
-    fp8-leg batch in the same envelope (3.2 GB weights + B x 58.7 MB)."""
-    import jax.numpy as jnp
-    from llm_fp8_tpu.models import get_config
-
-    cfg = get_config("llama-3.2-3b")
-
-    def run(b):
-        qparams = _fake_quantized_params(cfg, fmt="int8")
-        try:
-            return bench_decode_arena(qparams, cfg, jnp.int8, b)
-        finally:
-            del qparams
-
-    tps, batch = _ladder(run, (72, 64, 56, 48), "3b int8-KV")
-    return {"llama3b_int8kv_tokens_per_s": round(tps, 1),
-            "llama3b_int8kv_batch": batch,
-            "llama3b_int8kv_peak_hbm_gb": _peak_hbm_gb()}
-
-
-def leg_8b_int8():
-    """8B int8 weights + bf16 KV, batch raised past the fp8 leg's 8 —
-    the VERDICT r3 ask: an 8B ratio vs its own fp8 baseline (bf16 8B does
-    not fit the chip at all)."""
-    import jax.numpy as jnp
-    from llm_fp8_tpu.models import get_config
-
-    cfg = get_config("llama-3.1-8b")
-
-    def run(b):
-        qparams = _fake_quantized_params(cfg, fmt="int8")
-        try:
-            return bench_decode(qparams, cfg, jnp.bfloat16, b)
-        finally:
-            del qparams
-
-    # 8 GB weights + B x 134 MB cache: 44 -> 13.9 GB (fits 15.7), ladder
-    # down for co-tenant contention.
-    tps, batch = _ladder(run, (44, 36, 28, 16, 8), "8b int8")
-    return {"llama8b_int8_tokens_per_s": round(tps, 1),
-            "llama8b_int8_batch": batch,
-            "llama8b_int8_peak_hbm_gb": _peak_hbm_gb()}
-
-
-def leg_8b_int8kv():
-    """8B int8 weights + int8 arena KV (67 MB/seq at cache 1024)."""
-    import jax.numpy as jnp
-    from llm_fp8_tpu.models import get_config
-
-    cfg = get_config("llama-3.1-8b")
-
-    def run(b):
-        qparams = _fake_quantized_params(cfg, fmt="int8")
-        try:
-            return bench_decode_arena(qparams, cfg, jnp.int8, b)
-        finally:
-            del qparams
-
-    tps, batch = _ladder(run, (88, 72, 56, 40, 24), "8b int8-KV")
-    return {"llama8b_int8kv_tokens_per_s": round(tps, 1),
-            "llama8b_int8kv_batch": batch,
-            "llama8b_int8kv_peak_hbm_gb": _peak_hbm_gb()}
+    tps, batch = _ladder(run_fp8, (28, 16, 8, 8, 4), "8b fp8")
+    out.update(llama8b_fp8_tokens_per_s=round(tps, 1),
+               llama8b_fp8_batch=batch,
+               llama8b_fp8_peak_hbm_gb=_peak_hbm_gb())
+    _emit(out)
+    return out
 
 
 def leg_mla():
@@ -594,41 +579,29 @@ def leg_mla():
             del mparams
 
     tps, batch = _ladder(run, (BATCH_MLA_INT8, 96, 64), "mla int8")
-    return {"mla_int8_tokens_per_s": round(tps, 1), "mla_int8_batch": batch,
-            "mla_int8_peak_hbm_gb": _peak_hbm_gb()}
+    out = {"mla_int8_tokens_per_s": round(tps, 1), "mla_int8_batch": batch,
+           "mla_int8_peak_hbm_gb": _peak_hbm_gb()}
+    _emit(out)
+    return out
 
 
 LEGS = {
     "1b": leg_1b,
+    "3b": leg_3b,
     "8b": leg_8b,
-    "8b_int8": leg_8b_int8,
-    "8b_int8kv": leg_8b_int8kv,
-    "3b_bf16": leg_3b_bf16,
-    "3b_fp8": leg_3b_fp8,
-    "3b_int8": leg_3b_int8,
-    "3b_int8kv": leg_3b_int8kv,
-    "int8": leg_int8,
-    "int8kv": leg_int8kv,
     "mla": leg_mla,
 }
 
 # (name, wall-clock estimate s) in run order. The 1b headline goes first so
 # a driver timeout still captures the metric; then the paper-scale 3B
-# ladder (bf16 baseline + the 1-byte configs — the r3 VERDICT's top ask:
-# >=2x at 3B on a 1-byte config); then the 8B ladder (BASELINE.json model,
-# int8 legs raising the batch past the fp8@8 floor); then the 1B extras.
+# ladder; then the 8B ladder (BASELINE.json model); then the MLA capacity
+# config. Estimates assume a moderately loaded remote compile helper —
+# actual per-leg walls land in the emitted ``leg_s`` field for calibration.
 LEG_PLAN = [
-    ("1b", 240),
-    ("3b_bf16", 180),
-    ("3b_int8", 200),
-    ("3b_fp8", 200),
-    ("8b_int8", 260),
-    ("8b", 300),
-    ("3b_int8kv", 200),
-    ("8b_int8kv", 260),
-    ("int8", 210),
-    ("int8kv", 210),
-    ("mla", 210),
+    ("1b", 320),
+    ("3b", 330),
+    ("8b", 360),
+    ("mla", 120),
 ]
 
 
@@ -673,48 +646,74 @@ def _probe_device_or_die(timeout_s: float = 300.0):
     sys.exit(3)
 
 
-def _run_leg_child(name, timeout_s):
-    """Spawn `python bench.py --leg NAME`, return its parsed JSON dict
-    (last stdout line that parses), or None on failure/timeout."""
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--leg", name],
-            timeout=timeout_s, capture_output=True, text=True,
-        )
-    except subprocess.TimeoutExpired:
-        print(f"leg {name}: timed out after {timeout_s:.0f}s",
-              file=sys.stderr)
-        return None
-    for line in reversed(out.stdout.strip().splitlines()):
+def _stream_leg_child(name, timeout_s, on_update):
+    """Spawn `python bench.py --leg NAME` and stream its stdout: every line
+    that parses as JSON is handed to ``on_update`` IMMEDIATELY (the child
+    emits a cumulative dict after each measurement). Returns the child's
+    final rc, killing it at the deadline."""
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--leg", name],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    lines = queue.Queue()
+
+    def _pump(stream, tag):
+        for line in iter(stream.readline, ""):
+            lines.put((tag, line))
+        lines.put((tag, None))
+
+    threads = [threading.Thread(target=_pump, args=(s, t), daemon=True)
+               for s, t in ((proc.stdout, "out"), (proc.stderr, "err"))]
+    for t in threads:
+        t.start()
+    deadline = time.monotonic() + timeout_s
+    open_streams = 2
+    stderr_tail = []
+    while open_streams:
         try:
-            return json.loads(line)
-        except json.JSONDecodeError:
+            tag, line = lines.get(timeout=max(0.1, deadline - time.monotonic()))
+        except queue.Empty:
+            print(f"leg {name}: deadline after {timeout_s:.0f}s, killing",
+                  file=sys.stderr, flush=True)
+            proc.kill()
+            break
+        if line is None:
+            open_streams -= 1
             continue
-    tail = out.stderr.strip()[-300:]
-    print(f"leg {name}: rc={out.returncode}, no JSON; stderr tail: {tail}",
-          file=sys.stderr)
-    return None
+        if tag == "err":
+            stderr_tail.append(line)
+            stderr_tail = stderr_tail[-30:]
+            continue
+        try:
+            on_update(json.loads(line))
+        except json.JSONDecodeError:
+            pass
+    rc = proc.wait()
+    if rc not in (0, -9):
+        tail = "".join(stderr_tail)[-500:]
+        print(f"leg {name}: rc={rc}; stderr tail: {tail}",
+              file=sys.stderr, flush=True)
+    return rc
 
 
 def _derive(result):
     """Compute ratio fields from whatever raw tokens/s fields exist."""
     bf16 = result.get("bf16_tokens_per_s")
-    if not bf16:
-        return
-    ratios = [
-        ("fp8_tokens_per_s", None),  # headline: value/vs_baseline keys
-        ("int8_tokens_per_s", "int8_decode_x"),
-        ("int8kv_tokens_per_s", "int8kv_decode_x"),
-        ("mla_int8_tokens_per_s", "mla_int8_decode_x"),
-    ]
-    for src, dst in ratios:
-        if result.get(src):
-            x = round(result[src] / bf16, 3)
-            if dst is None:
-                result["value"] = x
-                result["vs_baseline"] = round(x / 2.0, 3)
-            else:
-                result[dst] = x
+    if bf16:
+        ratios = [
+            ("fp8_tokens_per_s", None),  # headline: value/vs_baseline keys
+            ("int8_tokens_per_s", "int8_decode_x"),
+            ("int8kv_tokens_per_s", "int8kv_decode_x"),
+            ("mla_int8_tokens_per_s", "mla_int8_decode_x"),
+        ]
+        for src, dst in ratios:
+            if result.get(src):
+                x = round(result[src] / bf16, 3)
+                if dst is None:
+                    result["value"] = x
+                    result["vs_baseline"] = round(x / 2.0, 3)
+                else:
+                    result[dst] = x
     b3 = result.get("llama3b_bf16_tokens_per_s")
     if b3:
         for src, dst in (
@@ -725,7 +724,7 @@ def _derive(result):
             if result.get(src):
                 result[dst] = round(result[src] / b3, 3)
     # 8B has no bf16 baseline (16 GB weights don't fit the chip): the ratio
-    # the r3 VERDICT asked for is vs the 8B fp8@8 leg itself.
+    # the r3 VERDICT asked for is vs the 8B fp8 leg itself.
     f8 = result.get("llama8b_fp8_tokens_per_s")
     if f8:
         for src, dst in (
@@ -743,23 +742,31 @@ def main():
         "value": None, "unit": "x", "vs_baseline": None,
         "fp8_config": "fp8 weights + bf16 KV (equal-HBM batch)",
         "context": CTX, "backend": backend,
+        "hbm_note": "peak_hbm fields are steady-state live-buffer "
+                    "footprints (axon exposes no PJRT memory_stats)",
+        "leg_s": {},
     }
+
+    def on_update(partial):
+        result.update(partial)
+        _derive(result)
+        # Superset line after every measurement: the driver parses the
+        # last JSON line, and a kill at any point keeps prior evidence.
+        print(json.dumps(result), flush=True)
+
     for name, est in LEG_PLAN:
-        if _remaining() < min(est, 120):
+        if _remaining() < min(est, 90):
             print(f"skipping leg {name}: {_remaining():.0f}s left "
                   f"(< {est}s estimate)", file=sys.stderr)
             continue
-        leg_out = _run_leg_child(name, timeout_s=max(120, _remaining() - 15))
-        if leg_out:
-            result.update(leg_out)
-            _derive(result)
-            # Superset line after every leg: the driver parses the last
-            # JSON line, and a kill at any point keeps prior evidence.
-            print(json.dumps(result), flush=True)
+        t0 = time.monotonic()
+        _stream_leg_child(name, timeout_s=max(90, _remaining() - 10),
+                          on_update=on_update)
+        result["leg_s"][name] = round(time.monotonic() - t0, 1)
+    print(json.dumps(result), flush=True)
     if result["value"] is None:
         # Make sure at least one parseable line exists even if the 1b leg
         # died — the driver must never see an empty stdout again.
-        print(json.dumps(result), flush=True)
         sys.exit(4)
 
 

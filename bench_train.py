@@ -33,6 +33,7 @@ Prints one JSON line; also writes the artifact file.
 """
 import argparse
 import json
+import sys
 import time
 from functools import partial
 
@@ -200,7 +201,10 @@ def main():
         except Exception as e:  # noqa: BLE001 — a recipe leg OOMing (e.g.
             # fp8 residuals at remat=none) must not lose the bf16 number
             result[f"{name}_error"] = str(e)[:200]
-            print(json.dumps(result), flush=True)
+            # Diagnostics to stderr: stdout carries exactly ONE JSON line
+            # per run (a partial-superset echo here made parsers that read
+            # the first line pick up the wrong object).
+            print(json.dumps(result), file=sys.stderr, flush=True)
             continue
         tag = {"default": "fp8", "layerwise": "fp8"}.get(name, name)
         result[f"{tag}_step_s"] = round(dt, 4)
@@ -209,8 +213,9 @@ def main():
         result[f"{tag}_x"] = round(dt_bf16 / dt, 3)
         if tag == "fp8":
             result["value"] = result["fp8_x"]
-        # Evidence survives partial runs: re-emit after every leg.
-        print(json.dumps(result), flush=True)
+        # Evidence survives partial runs (a kill mid-sweep): per-leg
+        # supersets go to stderr; the single stdout JSON prints at the end.
+        print(json.dumps(result), file=sys.stderr, flush=True)
     if result["value"] is None:  # int8-only invocation
         result["value"] = next(v for k, v in result.items()
                                if k.endswith("_x"))

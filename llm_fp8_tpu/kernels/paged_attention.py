@@ -17,7 +17,10 @@ physical page stores every layer's K/V for its token span):
             contraction-major for the q·k matmul)
   v_pages:  [P, L, Hk, D, page_size]
   lengths:  [B] int32                   valid tokens per sequence
-  page_tables: [B, max_pages] int32     physical page ids
+  page_tables: [B, max_pages] int32     physical page ids; entries beyond
+            ceil(length/page_size) are padding — the grouped fetch may
+            still DMA them (results are masked), so ids are clamped to
+            [0, P-1] in-kernel and padding may be any value
   layer_idx: scalar int32               which layer's slab to read
 Output: [B, Hq, D].
 
@@ -84,7 +87,11 @@ def _kernel(
     def start_fetch(slot, group_idx):
         for j in range(nf):  # static unroll: 2*nf DMAs in flight
             idx = jnp.minimum(group_idx * nf + j, max_pages - 1)
-            page = tables_ref[b, idx]
+            # Clamp to the pool: table entries past the sequence's valid
+            # page count are padding the grouped fetch still reads (their
+            # lanes are masked out of the softmax) — a caller padding with
+            # -1/garbage must not turn into an out-of-pool DMA.
+            page = jnp.clip(tables_ref[b, idx], 0, k_pages_ref.shape[0] - 1)
             pltpu.make_async_copy(
                 k_pages_ref.at[page, layer],
                 k_buf.at[slot, :, :, pl.ds(j * page_size, page_size)],

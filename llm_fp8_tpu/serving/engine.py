@@ -210,6 +210,14 @@ class Engine:
             self._data_sharding = NamedSharding(
                 mesh, adapt_spec(P((AXIS_DP, AXIS_FSDP)), (B,), mesh)
             )
+            # Multi-process meshes: slot-sharded step outputs span devices
+            # this host cannot read. The scheduler is replicated host logic
+            # (every rank runs the same admission/EOS decisions), so fetch
+            # = all-gather to replicated THEN read — one compiled collective
+            # riding the same channel as the step itself.
+            self._replicate = jax.jit(
+                lambda a: a, out_shardings=NamedSharding(mesh, P())
+            )
         # Host-side slot bookkeeping (the scheduler's view).
         self.slot_req: List[Optional[Request]] = [None] * B
         self.slot_lens = np.zeros((B,), np.int32)
@@ -420,7 +428,15 @@ class Engine:
             out, self.cache = self._decode_burst(
                 self.params, self.cache, toks, lens, steps=steps
             )
-        return np.asarray(out)  # [steps, slots]
+        return self._fetch(out)  # [steps, slots]
+
+    def _fetch(self, x):
+        """Host-read a step output: all-gather to replicated first when its
+        shards span other processes (multi-host serving; single-process
+        arrays pass straight through)."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            x = self._replicate(x)
+        return np.asarray(x)
 
     _BURST_BUCKETS = (32, 16, 8, 4, 2)
 
@@ -560,7 +576,10 @@ class Engine:
                             finished.append(self._retire(slot))
                 return finished
             logits, greedy_toks = self._run_decode(toks, lens)
-            greedy_toks = np.asarray(greedy_toks)
+            greedy_toks = self._fetch(greedy_toks)
+            if any(r is not None and r.params.temperature != 0.0
+                   for r in self.slot_req):
+                logits = self._fetch(logits)
             for slot, req in enumerate(self.slot_req):
                 if req is None:
                     continue

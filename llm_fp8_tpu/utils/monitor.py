@@ -34,7 +34,20 @@ def device_memory_stats(device: Optional[jax.Device] = None) -> Dict[str, float]
             "limit_gb": stats.get("bytes_limit", 0) / gb,
             "source": "pjrt",
         }
-    live = sum(a.nbytes for a in jax.live_arrays()) / gb
+    # Footprint fallback: sum only the requested device's shards — on a
+    # multi-device mesh summing every live array would overstate per-device
+    # use by ~n_devices. ``source`` stays "live_arrays" so callers know this
+    # is a footprint (no compile/prefill transients), not a true peak.
+    live = 0
+    for a in jax.live_arrays():
+        try:
+            for sh in a.addressable_shards:
+                if sh.device == device:
+                    live += sh.data.nbytes
+        except Exception:  # noqa: BLE001 — backend without shard introspection
+            if device in a.devices():
+                live += a.nbytes // max(len(a.devices()), 1)
+    live /= gb
     return {"in_use_gb": live, "peak_gb": live, "limit_gb": 0.0,
             "source": "live_arrays"}
 
