@@ -414,6 +414,7 @@ def leg_1b():
     out = {}
 
     params = _fast_bf16_params(cfg)
+    _note("1b bf16: params built")
     bf16_tps = bench_decode(params, cfg, jnp.bfloat16, BATCH_BF16)
     out.update(bf16_tokens_per_s=round(bf16_tps, 1), bf16_batch=BATCH_BF16,
                bf16_peak_hbm_gb=_peak_hbm_gb())
@@ -424,6 +425,7 @@ def leg_1b():
     # byte on v5e (measured 0.37x); bf16 KV keeps attention at full speed.
     # Default QDOT route (as in r2-r4 legs — keeps the headline comparable).
     qparams = _fake_quantized_params(cfg, fmt="fp8")
+    _note("1b fp8: params built")
     fp8_tps, fp8_batch = _ladder(
         lambda b: bench_decode(qparams, cfg, jnp.bfloat16, b),
         (BATCH_FP8, 36, 28), "1b fp8")
@@ -432,7 +434,18 @@ def leg_1b():
     _emit(out)
     del qparams
 
+    return out
+
+
+def leg_1b_extras():
+    """1B int8 + int8-KV (r03-parity fields; after the paper-scale legs)."""
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models import get_config
+
+    cfg = get_config("llama-3.2-1b")
+    out = {}
     q_int8 = _fake_quantized_params(cfg, fmt="int8")
+    _note("1b int8: params built")
     tps, batch = _ladder(
         lambda b: bench_decode(q_int8, cfg, jnp.bfloat16, b),
         (BATCH_FP8, 36, 28), "1b int8")
@@ -461,6 +474,7 @@ def leg_3b():
     out = {}
 
     q_int8 = _fake_quantized_params(cfg, fmt="int8")
+    _note("3b int8: params built")
     tps, batch = _ladder(
         lambda b: bench_decode(q_int8, cfg, jnp.bfloat16, b),
         (BATCH_3B_FP8, 28, 20), "3b int8")
@@ -470,6 +484,7 @@ def leg_3b():
     _emit(out)
 
     params = _fast_bf16_params(cfg)
+    _note("3b bf16: params built")
     tps, batch = _ladder(
         lambda b: bench_decode(params, cfg, jnp.bfloat16, b),
         (BATCH_3B_BF16, 6, 4), "3b bf16")
@@ -517,6 +532,7 @@ def leg_8b():
         return bench_decode(q_int8, cfg, jnp.bfloat16, b)
 
     q_int8 = _fake_quantized_params(cfg, fmt="int8")
+    _note("8b int8: params built")
     tps, batch = _ladder(run_int8, (44, 36, 28, 16, 8), "8b int8")
     out.update(llama8b_int8_tokens_per_s=round(tps, 1),
                llama8b_int8_batch=batch,
@@ -589,6 +605,7 @@ LEGS = {
     "1b": leg_1b,
     "3b": leg_3b,
     "8b": leg_8b,
+    "1b_extras": leg_1b_extras,
     "mla": leg_mla,
 }
 
@@ -598,10 +615,11 @@ LEGS = {
 # config. Estimates assume a moderately loaded remote compile helper —
 # actual per-leg walls land in the emitted ``leg_s`` field for calibration.
 LEG_PLAN = [
-    ("1b", 320),
-    ("3b", 330),
-    ("8b", 360),
-    ("mla", 120),
+    ("1b", 300),
+    ("3b", 420),
+    ("8b", 420),
+    ("1b_extras", 160),
+    ("mla", 130),
 ]
 
 
@@ -681,6 +699,10 @@ def _stream_leg_child(name, timeout_s, on_update):
             open_streams -= 1
             continue
         if tag == "err":
+            # Forward child diagnostics live (a deadline-killed child must
+            # leave a trail of where its time went — r5 first run lost 526s
+            # of a leg with no visibility).
+            print(f"  [{name}] {line.rstrip()}", file=sys.stderr, flush=True)
             stderr_tail.append(line)
             stderr_tail = stderr_tail[-30:]
             continue

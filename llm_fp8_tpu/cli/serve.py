@@ -190,6 +190,10 @@ def main(argv=None):
         "precision": args.precision,
         "kv_dtype": jnp.dtype(kv_dtype).name,
         **spec_stats,
+        # int8-KV calibration health (saturation EWMA vs threshold;
+        # see EngineConfig.kv_sat_threshold / kv_recalibrate).
+        **({"kv_drift": eng.kv_drift_stats()}
+           if getattr(eng, "_int8_kv", False) else {}),
     }))
 
 

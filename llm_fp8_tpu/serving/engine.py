@@ -88,6 +88,18 @@ class EngineConfig:
     # row. 1 disables (per-step decode). Sampled requests (temperature>0)
     # always decode per-step.
     decode_burst: int = 32
+    # int8-KV drift guard: calibration freezes per-head scales at the first
+    # prefill (vLLM-style offline kv-scale calibration), so activation
+    # drift on a long-lived server is otherwise unbounded and invisible.
+    # Every later prefill reports the fraction of K/V values clipping past
+    # the representable range; when the EWMA crosses kv_sat_threshold the
+    # engine flips a warning (kv_drift_stats()). kv_recalibrate=True
+    # additionally expands the scales to cover the observed amax and
+    # requantizes the live arena in place (the triggering prompt's already-
+    # clipped rows stay clipped — the guard bounds FUTURE loss, and decode
+    # appends inherit the widened scales).
+    kv_sat_threshold: float = 1e-3
+    kv_recalibrate: bool = False
 
 
 class Engine:
@@ -165,6 +177,12 @@ class Engine:
         Hk = model_cfg.num_kv_heads
         self._kscales = jnp.full((Hk,), engine_cfg.kv_scale, jnp.float32)
         self._vscales = jnp.full((Hk,), engine_cfg.kv_scale, jnp.float32)
+        # Drift telemetry (see EngineConfig.kv_sat_threshold): EWMA of the
+        # per-prefill saturation fraction, per head.
+        self._sat_ewma_k = np.zeros((Hk,), np.float64)
+        self._sat_ewma_v = np.zeros((Hk,), np.float64)
+        self.kv_sat_warning = False
+        self.kv_recalibrations = 0
         if self._fp8_arena:
             L, Dh = model_cfg.num_layers, model_cfg.head_dim
             self.ka = jnp.zeros((L, B, Hk, Dh, S), engine_cfg.kv_dtype)
@@ -291,18 +309,42 @@ class Engine:
             arena, nt[:, None].astype(arena.dtype), (0, slot, 0, 0, 0)
         )
 
+    @staticmethod
+    def _sat_stats(new, scales, true_len, fmax):
+        """Per-head saturation fraction + amax of a raw prefill K or V
+        [L, 1, bucket, Hk, Dh] against ``scales`` — the drift telemetry:
+        calibration is frozen at first prefill, so the fraction of values
+        a later prompt pushes past the representable range is the
+        observable for activation drift on a long-lived server."""
+        a = jnp.abs(new[:, 0].astype(jnp.float32))  # [L, bucket, Hk, Dh]
+        valid = (jnp.arange(a.shape[1]) < true_len)[None, :, None, None]
+        rng = scales.reshape(1, 1, -1, 1) * fmax
+        sat = jnp.sum(jnp.where(valid, (a > rng).astype(jnp.float32), 0.0),
+                      axis=(0, 1, 3))
+        denom = jnp.maximum(true_len * a.shape[0] * a.shape[-1], 1)
+        amax = jnp.max(jnp.where(valid, a, 0.0), axis=(0, 1, 3))
+        return sat / denom, amax  # each [Hk]
+
     def _prefill_arena_impl(self, params, ka, va, tokens, true_len, slot,
                             kscales, vscales, *, bucket):
         """Prefill into the fused quantized arena: run the prompt, quantize
-        the produced K/V per head, store transposed in slot ``slot``."""
+        the produced K/V per head, store transposed in slot ``slot``.
+        Also returns per-head saturation/amax drift telemetry (int8 KV's
+        scales are frozen at first-prefill calibration)."""
         logits, kv = forward(
             params, tokens[None, :], self.cfg, kv_lens=true_len[None],
             attn_impl=self.ecfg.attn_impl, return_kv=True,
         )
         k, v = kv  # [L, 1, bucket, Hk, Dh]
+        fmax = (float(jnp.iinfo(ka.dtype).max)
+                if jnp.issubdtype(ka.dtype, jnp.integer)
+                else float(jnp.finfo(ka.dtype).max))
+        stats = (self._sat_stats(k, kscales, true_len, fmax)
+                 + self._sat_stats(v, vscales, true_len, fmax))
         return (logits[0, true_len - 1],
                 self._store_arena(ka, k, kscales, slot),
-                self._store_arena(va, v, vscales, slot))
+                self._store_arena(va, v, vscales, slot),
+                stats)
 
     def _prefill_kv_impl(self, params, tokens, true_len, *, bucket):
         """Calibration prefill: return the raw (unquantized) prefill K/V so
@@ -359,15 +401,79 @@ class Engine:
         if self._fp8_arena:
             if not self._calibrated:
                 return self._calibrate_int8_kv(padded, n, slot, bucket)
-            last, self.ka, self.va = self._prefill(
+            last, self.ka, self.va, stats = self._prefill(
                 self.params, self.ka, self.va, padded, n, slot,
                 self._kscales, self._vscales, bucket=bucket
             )
+            if self._int8_kv:
+                self._track_kv_drift(stats)
         else:
             last, self.cache = self._prefill(
                 self.params, self.cache, padded, n, slot, bucket=bucket
             )
         return last
+
+    def _track_kv_drift(self, stats):
+        """Consume a prefill's saturation/amax telemetry: update the EWMA,
+        flip the warning past the threshold, optionally recalibrate."""
+        import warnings
+
+        k_sat, k_amax, v_sat, v_amax = (np.asarray(s, np.float64)
+                                        for s in stats)
+        a = 0.2  # EWMA weight: ~5 prompts of memory
+        self._sat_ewma_k = (1 - a) * self._sat_ewma_k + a * k_sat
+        self._sat_ewma_v = (1 - a) * self._sat_ewma_v + a * v_sat
+        worst = max(self._sat_ewma_k.max(), self._sat_ewma_v.max())
+        if worst > self.ecfg.kv_sat_threshold and not self.kv_sat_warning:
+            self.kv_sat_warning = True
+            warnings.warn(
+                f"int8-KV saturation EWMA {worst:.2%} exceeds "
+                f"kv_sat_threshold={self.ecfg.kv_sat_threshold:.2%}: "
+                "activations have drifted past the first-prefill "
+                "calibration range"
+                + ("" if self.ecfg.kv_recalibrate
+                   else "; set EngineConfig.kv_recalibrate=True to expand "
+                        "scales online"),
+                stacklevel=3,
+            )
+        if self.ecfg.kv_recalibrate and (
+            k_sat.max() > self.ecfg.kv_sat_threshold
+            or v_sat.max() > self.ecfg.kv_sat_threshold
+        ):
+            new_ks = np.maximum(np.asarray(self._kscales),
+                                k_amax * 1.05 / 127.0)
+            new_vs = np.maximum(np.asarray(self._vscales),
+                                v_amax * 1.05 / 127.0)
+            self._rescale_arena(jnp.asarray(new_ks, jnp.float32),
+                                jnp.asarray(new_vs, jnp.float32))
+            self.kv_recalibrations += 1
+
+    def _rescale_arena(self, new_ks, new_vs):
+        """Requantize the live int8 arena from the old scales to widened
+        ones (q_new = round(q_old * old/new)) — rare, one fused pass; the
+        alternative (reinterpreting old bytes under new scales) would
+        corrupt every live sequence."""
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def rescale(arena, old, new):
+            ratio = (old / new).reshape(1, 1, -1, 1, 1)
+            x = arena.astype(jnp.float32) * ratio
+            return jnp.clip(jnp.round(x), -127, 127).astype(arena.dtype)
+
+        self.ka = rescale(self.ka, self._kscales, new_ks)
+        self.va = rescale(self.va, self._vscales, new_vs)
+        self._kscales, self._vscales = new_ks, new_vs
+
+    def kv_drift_stats(self) -> Dict[str, Any]:
+        """Long-lived-server calibration health (int8 KV)."""
+        return {
+            "sat_ewma_k_max": float(self._sat_ewma_k.max()),
+            "sat_ewma_v_max": float(self._sat_ewma_v.max()),
+            "sat_threshold": self.ecfg.kv_sat_threshold,
+            "warning": self.kv_sat_warning,
+            "recalibrations": self.kv_recalibrations,
+        }
 
     def _run_decode(self, toks, lens):
         if self._fp8_arena:

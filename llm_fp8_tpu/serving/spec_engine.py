@@ -27,6 +27,12 @@ stale rows past it are masked by ``kv_lens`` and overwritten by the next
 round's scatter (which always spans them — the next round writes
 ``new_len .. new_len+gamma`` and ``new_len >= old_len+1``).
 
+Rounds chain on-device: ``decode_burst`` (a token budget) buys
+``decode_burst // (gamma+1)`` speculative rounds per dispatch under one
+``lax.scan`` — the host truncates per-slot at EOS/budget after the burst,
+the same contract as ``Engine._decode_burst_impl``. This removes the
+per-round host round-trip that dominated the r4 measurement.
+
 Reachable from ``cli/serve.py`` via ``--draft_model`` (+ ``--gamma``).
 """
 from __future__ import annotations
@@ -116,7 +122,10 @@ class SpecEngine(Engine):
             self._draft_prefill_impl, static_argnames=("bucket",),
             donate_argnums=(1,),
         )
-        self._spec_step = jax.jit(self._spec_step_impl, donate_argnums=(2, 3))
+        self._spec_step = jax.jit(
+            self._spec_burst_impl, static_argnames=("steps",),
+            donate_argnums=(2, 3),
+        )
         # Telemetry: recent per-round accepted-proposal counts (capped so a
         # long-lived server doesn't grow it unboundedly) plus running
         # aggregates covering the full lifetime.
@@ -145,8 +154,35 @@ class SpecEngine(Engine):
         return KVCache(k, v, dcache.lens.at[slot].set(true_len),
                        dcache.k_scale, dcache.v_scale)
 
-    def _spec_step_impl(self, tparams, dparams, tcache, dcache, toks, lens,
-                        key):
+    def _spec_burst_impl(self, tparams, dparams, tcache, dcache, toks, lens,
+                         key, *, steps):
+        """``steps`` speculative rounds chained as ONE dispatch.
+
+        The r4 measurement showed the per-round host round-trip (not the
+        draft math) made speculation lose to plain burst decode over the
+        remote-dispatch link; chaining rounds under ``lax.scan`` gives the
+        speculative path the same per-dispatch amortization as
+        ``Engine._decode_burst_impl`` (engine.py:404-419). Outputs stack a
+        leading ``[steps]`` axis; the host walks rounds in order and
+        truncates per-slot at EOS/budget, exactly the burst contract.
+        """
+        def body(carry, k):
+            tcache, dcache, toks, lens = carry
+            (committed, n_commit, new_last, new_lens,
+             tcache, dcache) = self._spec_round(
+                tparams, dparams, tcache, dcache, toks, lens, k)
+            return ((tcache, dcache, new_last, new_lens),
+                    (committed, n_commit, new_last, new_lens))
+
+        (tcache, dcache, _, _), outs = jax.lax.scan(
+            body, (tcache, dcache, toks, lens),
+            jax.random.split(key, steps),
+        )
+        committed, n_commit, new_last, new_lens = outs
+        return committed, n_commit, new_last, new_lens, tcache, dcache
+
+    def _spec_round(self, tparams, dparams, tcache, dcache, toks, lens,
+                    key):
         """One speculative round over every slot.
 
         Returns ``(committed [B, gamma+1] int32, n_commit [B], new_last [B],
@@ -335,34 +371,67 @@ class SpecEngine(Engine):
                 lens = jax.device_put(lens, self._data_sharding)
                 toks = jax.device_put(toks, self._data_sharding)
             self._rng_key, key = jax.random.split(self._rng_key)
+            rounds = self._spec_rounds()
             committed, n_commit, new_last, new_lens, self.cache, \
                 self.dcache = self._spec_step(
                     self.params, self.dparams, self.cache, self.dcache,
-                    toks, lens, key,
+                    toks, lens, key, steps=rounds,
                 )
-            committed = np.asarray(committed)
-            n_commit = np.asarray(n_commit)
-            new_last = np.asarray(new_last)
-            new_lens = np.asarray(new_lens)
+            committed = self._fetch(committed)    # [rounds, B, g+1]
+            n_commit = self._fetch(n_commit)      # [rounds, B]
+            new_last = self._fetch(new_last)
+            new_lens = self._fetch(new_lens)
             for slot, req in enumerate(self.slot_req):
                 if req is None:
                     continue
-                self.accepted_histogram.append(int(n_commit[slot]) - 1)
-                self.accepted_total += int(n_commit[slot]) - 1
-                self.rounds_total += 1
                 stopped = False
-                for i in range(int(n_commit[slot])):
-                    if len(req.output) >= req.params.max_new_tokens:
-                        stopped = True
-                        break
-                    tok = int(committed[slot, i])
-                    req.output.append(tok)
-                    if self._is_stop(req, tok):
-                        stopped = True
-                        break
-                self.slot_lens[slot] = int(new_lens[slot])
-                self.slot_last_tok[slot] = int(new_last[slot])
+                for r in range(rounds):
+                    if stopped:
+                        break  # later rounds speculated past a stop: drop
+                    self.accepted_histogram.append(int(n_commit[r, slot]) - 1)
+                    self.accepted_total += int(n_commit[r, slot]) - 1
+                    self.rounds_total += 1
+                    for i in range(int(n_commit[r, slot])):
+                        if len(req.output) >= req.params.max_new_tokens:
+                            stopped = True
+                            break
+                        tok = int(committed[r, slot, i])
+                        req.output.append(tok)
+                        if self._is_stop(req, tok):
+                            stopped = True
+                            break
+                self.slot_lens[slot] = int(new_lens[-1, slot])
+                self.slot_last_tok[slot] = int(new_last[-1, slot])
                 if stopped or (self.slot_lens[slot] + g + 2
                                >= self.ecfg.max_seq_len):
                     finished.append(self._retire(slot))
         return finished
+
+    _SPEC_BURST_BUCKETS = (8, 4, 2)
+
+    def _spec_rounds(self) -> int:
+        """Rounds per dispatch: ``decode_burst`` is a token budget, so the
+        round budget is ``decode_burst // (gamma+1)``; every slot must keep
+        arena headroom for ALL rounds' worst case (a round writes g+1 rows
+        past the committed length, whether or not the host later truncates)
+        and no slot should dispatch far past its remaining token budget.
+        Bucketed to bound recompiles; capped while requests wait so freed
+        slots refill promptly (mirrors Engine._burst_size)."""
+        g = self.gamma
+        active = [(s, r) for s, r in enumerate(self.slot_req)
+                  if r is not None]
+        if not active:
+            return 1
+        n = min(
+            max(1, self.ecfg.decode_burst // (g + 1)),
+            min(r.params.max_new_tokens - len(r.output) for _, r in active),
+            min((self.ecfg.max_seq_len - 2 - int(self.slot_lens[s]))
+                // (g + 1)
+                for s, _ in active),
+        )
+        if self.waiting:
+            n = min(n, 2)
+        for b in self._SPEC_BURST_BUCKETS:
+            if b <= n:
+                return b
+        return 1

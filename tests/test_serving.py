@@ -316,3 +316,58 @@ class TestEngineGuards:
         )
         assert np.all(np.isfinite(np.asarray(cache.k.astype(jnp.float32))))
         assert np.all(np.isfinite(np.asarray(logits)))
+
+
+class TestKvDriftGuard:
+    """int8-KV calibration drift: frozen first-prefill scales are monitored
+    per prefill (saturation fraction vs the representable range) and can be
+    expanded online (EngineConfig.kv_recalibrate)."""
+
+    def _drifted_engine(self, recalibrate):
+        params = init_params(CFG, jax.random.PRNGKey(7), dtype=jnp.float32)
+        eng = Engine(
+            params, CFG,
+            EngineConfig(max_slots=4, max_seq_len=256, kv_dtype=jnp.int8,
+                         prefill_buckets=(32, 64, 128), attn_impl="ref",
+                         kv_recalibrate=recalibrate),
+        )
+        eng.add_request(np.arange(1, 17, dtype=np.int32),
+                        SamplingParams(max_new_tokens=2))
+        eng.run()
+        assert not eng.kv_sat_warning  # calibrated range covers itself
+        # Synthetic drift: shrink the calibrated scales 20x, as if the
+        # activation distribution grew far past the first prompt's range.
+        eng._kscales = eng._kscales * 0.05
+        eng._vscales = eng._vscales * 0.05
+        return params, eng
+
+    def test_saturation_telemetry_flips_warning(self):
+        _, eng = self._drifted_engine(recalibrate=False)
+        with pytest.warns(UserWarning, match="saturation"):
+            eng.add_request(np.arange(20, 36, dtype=np.int32),
+                            SamplingParams(max_new_tokens=2))
+            eng.run()
+        stats = eng.kv_drift_stats()
+        assert stats["warning"]
+        assert stats["sat_ewma_k_max"] > stats["sat_threshold"]
+        assert stats["recalibrations"] == 0
+
+    def test_recalibration_restores_fidelity(self):
+        params, eng = self._drifted_engine(recalibrate=True)
+        before = np.asarray(eng._kscales).copy()
+        with pytest.warns(UserWarning, match="saturation"):
+            eng.add_request(np.arange(20, 36, dtype=np.int32),
+                            SamplingParams(max_new_tokens=2))
+            eng.run()
+        assert eng.kv_drift_stats()["recalibrations"] >= 1
+        after = np.asarray(eng._kscales)
+        assert (after > before * 2).all(), (before, after)
+        # A fresh request after recalibration decodes the same greedy
+        # tokens as a bf16-KV engine (the widened scales hold fidelity).
+        prompt = np.arange(5, 21, dtype=np.int32)
+        r = eng.add_request(prompt, SamplingParams(max_new_tokens=6))
+        eng.run()
+        ref = make_engine(params, kv_dtype=jnp.bfloat16)
+        r_ref = ref.add_request(prompt, SamplingParams(max_new_tokens=6))
+        ref.run()
+        assert r.output == r_ref.output, (r.output, r_ref.output)
