@@ -80,6 +80,11 @@ def main():
     ap.add_argument("--corpus", default=None)
     ap.add_argument("--gammas", type=int, nargs="+", default=[GAMMA])
     ap.add_argument("--max_new", type=int, default=NEW)
+    # Token budget per dispatch for BOTH engines: the plain engine chains
+    # decode_burst greedy steps; the SpecEngine chains
+    # decode_burst // (gamma+1) speculative rounds (r5: the spec round got
+    # the same lax.scan medicine as plain burst decode).
+    ap.add_argument("--decode_burst", type=int, default=32)
     args = ap.parse_args()
 
     cfg = get_config(args.target)
@@ -95,7 +100,8 @@ def main():
         prompts = random_prompts(cfg.vocab_size)
 
     ecfg = EngineConfig(max_slots=SLOTS, max_seq_len=512,
-                        kv_dtype=jnp.bfloat16)
+                        kv_dtype=jnp.bfloat16,
+                        decode_burst=args.decode_burst)
 
     eng = Engine(params, cfg, ecfg)
     toks, dt = run(eng, prompts, max_new=args.max_new)  # compile

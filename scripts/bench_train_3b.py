@@ -1,0 +1,168 @@
+"""3B training feasibility on one 16 GB v5e: measured OOM + sharded fit.
+
+The paper's primary training config is 3B (``conference_101719.tex:258-260``,
+trained on 8xA100-80GB). One v5e chip cannot hold the AdamW state:
+
+  params bf16 6.43 + grads bf16 6.43 + mu 6.43 (bf16) + nu 12.9 (f32)
+  = 32.2 GB  (25.7 GB even with nu forced bf16)  >  16 GB
+
+This script makes that a *measured* fact, not arithmetic: it attempts the
+most memory-frugal single-chip 3B config (full remat, chunked CE, bf16 mu,
+batch 1) on the real chip and records the RESOURCE_EXHAUSTED, then runs the
+AOT per-device memory analysis of the same train step sharded fsdp=4 over a
+virtual mesh — showing exactly which mesh makes the paper's model trainable
+on v5e hardware (4 chips: ~8 GB state/device + activations). Emits one JSON
+for ``docs/BENCH_TRAIN_3B.json``.
+
+Reference: the 3B training runs in ``/root/reference/train_fp8.py`` assume
+80 GB devices; the reference has no single-device feasibility story either.
+"""
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+GB = 1024 ** 3
+
+
+def attempt_on_chip(batch, seq):
+    """Try one real 3B train step in the most frugal config; return the
+    outcome dict (step_s on success; the OOM error string on failure)."""
+    import time
+
+    from llm_fp8_tpu.models import get_config, init_params
+    from llm_fp8_tpu.training import TrainConfig, Trainer
+
+    cfg = get_config("llama-3.2-3b")
+    out = {"batch": batch, "seq": seq, "remat": "full", "ce_chunks": 8,
+           "adam_mu_dtype": "bfloat16"}
+    try:
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        trainer = Trainer(
+            cfg,
+            TrainConfig(recipes="bf16", warmup_steps=10, total_steps=100,
+                        remat=True, ce_chunks=8,
+                        adam_mu_dtype="bfloat16"),
+        )
+        state = trainer.init_state(params)
+        batch_d = {
+            "input_ids": jnp.ones((batch, seq), jnp.int32),
+            "attention_mask": jnp.ones((batch, seq), jnp.int32),
+        }
+        state, m = trainer.train_step(state, batch_d)
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(4):
+            state, m = trainer.train_step(state, batch_d)
+        jax.block_until_ready(m["loss"])
+        out["step_s"] = round((time.perf_counter() - t0) / 4, 4)
+        out["fits"] = True
+    except Exception as e:  # noqa: BLE001 — the OOM is the datum
+        msg = str(e)
+        out["fits"] = False
+        out["error"] = msg[:400]
+        out["oom"] = "RESOURCE_EXHAUSTED" in msg
+    return out
+
+
+def closed_form():
+    from llm_fp8_tpu.models import get_config
+
+    cfg = get_config("llama-3.2-3b")
+    n = cfg.num_params()
+    return {
+        "num_params_b": round(n / 1e9, 2),
+        "params_bf16_gb": round(2 * n / GB, 2),
+        "grads_bf16_gb": round(2 * n / GB, 2),
+        "adam_mu_bf16_gb": round(2 * n / GB, 2),
+        "adam_nu_f32_gb": round(4 * n / GB, 2),
+        "state_total_gb": round(10 * n / GB, 2),
+        "v5e_hbm_gb": 16.0,
+    }
+
+
+def sharded_aot(fsdp=4):
+    """Per-device memory analysis of the SAME train step over fsdp chips
+    (virtual CPU mesh; same technique as tests/aot14b_worker.py)."""
+    import subprocess
+
+    code = f"""
+import os, json
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count={fsdp}"
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+from jax.sharding import NamedSharding, PartitionSpec as P
+from llm_fp8_tpu.models import get_config, init_params
+from llm_fp8_tpu.parallel import MeshConfig, make_mesh, param_specs, batch_spec
+from llm_fp8_tpu.training import TrainConfig, Trainer
+cfg = get_config("llama-3.2-3b")
+mesh = make_mesh(MeshConfig(dp=1, fsdp={fsdp}, tp=1))
+trainer = Trainer(cfg, TrainConfig(recipes="bf16", warmup_steps=10,
+    total_steps=100, remat=True, ce_chunks=8, adam_mu_dtype="bfloat16"))
+abs_params = jax.eval_shape(
+    lambda: init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16))
+pspecs = param_specs(abs_params, mesh)
+shape2spec = {{}}
+jax.tree_util.tree_map(
+    lambda l, s: shape2spec.setdefault(tuple(l.shape), s), abs_params, pspecs)
+abs_state = jax.eval_shape(trainer.init_state, abs_params)
+abs_state = jax.tree_util.tree_map(
+    lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=NamedSharding(
+        mesh, shape2spec.get(tuple(l.shape), P()))), abs_state)
+bsh = NamedSharding(mesh, batch_spec())
+abs_batch = {{"input_ids": jax.ShapeDtypeStruct((8, 512), jnp.int32,
+    sharding=bsh), "attention_mask": jax.ShapeDtypeStruct((8, 512),
+    jnp.int32, sharding=bsh)}}
+st = trainer._train_step.lower(abs_state, abs_batch).compile().memory_analysis()
+out = st.output_size_in_bytes - st.alias_size_in_bytes
+print(json.dumps({{
+    "mesh": "fsdp{fsdp}",
+    "arg_gb_per_dev": round(st.argument_size_in_bytes / 1024**3, 3),
+    "temp_gb_per_dev": round(st.temp_size_in_bytes / 1024**3, 3),
+    "total_gb_per_dev": round((st.argument_size_in_bytes
+        + st.temp_size_in_bytes + max(out, 0)) / 1024**3, 3),
+}}))
+"""
+    env = dict(PALLAS_AXON_POOL_IPS="", PYTHONPATH="/root/repo",
+               PATH="/usr/bin:/bin")
+    import os
+
+    env.update({k: v for k, v in os.environ.items()
+                if k not in ("JAX_PLATFORMS", "XLA_FLAGS",
+                             "PALLAS_AXON_POOL_IPS")})
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=600, env=env)
+    if r.returncode != 0:
+        return {"error": r.stderr[-400:]}
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--seq", type=int, default=512)
+    ap.add_argument("--out", default="docs/BENCH_TRAIN_3B.json")
+    ap.add_argument("--skip_chip", action="store_true",
+                    help="closed-form + AOT only (no TPU attempt)")
+    args = ap.parse_args()
+
+    result = {
+        "metric": "llama3b_train_feasibility_v5e",
+        "closed_form": closed_form(),
+        "sharded_aot": sharded_aot(4),
+    }
+    if not args.skip_chip:
+        result["on_chip_attempt"] = attempt_on_chip(args.batch, args.seq)
+    line = json.dumps(result)
+    print(line, flush=True)
+    with open(args.out, "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -103,3 +103,23 @@ def test_eos_stops_midblock(models):
                       eos_token_id=eos)
     [got] = _run(spec, prompts, max_new=12)
     assert got == want
+
+
+def test_burst_rounds_match_single_round(models):
+    """N speculative rounds chained in one dispatch (decode_burst budget)
+    commit exactly what per-round dispatching commits — the lax.scan chain
+    changes dispatch granularity only (r5: spec got the burst medicine)."""
+    import dataclasses
+
+    target, draft = models
+    prompts = _prompts(3, np.random.default_rng(7))
+    single_cfg = dataclasses.replace(ECFG, decode_burst=1)
+    want = _run(SpecEngine(target, CFG, draft, CFG, single_cfg, gamma=3),
+                prompts, max_new=14)
+    burst = SpecEngine(target, CFG, draft, CFG, ECFG, gamma=3)
+    assert burst._spec_rounds() == 1  # no active slots yet
+    got = _run(burst, prompts, max_new=14)
+    assert got == want
+    # The burst engine must actually have chained rounds (histogram grows
+    # by several rounds per host step when slots are active).
+    assert burst.rounds_total >= 4
