@@ -16,10 +16,13 @@ model), plus the MLA compressed-latent capacity config.
 Architecture (round-5). Two r4 lessons drive the layout:
   * The axon backend does NOT write JAX's persistent compilation cache
     (verified: jit on TPU leaves the cache dir empty), and the remote
-    compile helper's latency varies 2-8x with co-tenant load — so compile
-    time, not measurement time, is the budget. Legs are grouped ONE CHILD
-    PER MODEL: within a process, later shape variants of the same program
-    family compile in ~7-10s where the first costs 40s+.
+    compile helper charges a once-PER-PROCESS tax on the first big
+    compile (measured 40-846s across runs, load-dependent; identical
+    programs re-pay it in a new process, so it is session init, not
+    compile work) while every subsequent program compiles in ~7-15s.
+    Legs are therefore grouped into THREE children: core (1B headline +
+    3B ladder), 8b (own process: fresh HBM for the 8 GB weights), extras
+    (1B int8/int8-KV + MLA) — three taxes instead of eleven.
   * `BENCH_r04.json` was rc=124 with 2 legs: the driver's window is smaller
     than the 2700s plan. Children stream a cumulative JSON line after EVERY
     measurement and the parent re-prints the merged superset immediately —
@@ -107,7 +110,8 @@ def _time_loop(run):
     # previous measurement's footprint (advisor r4)
     _sync(run())
     _STEADY_FOOTPRINT_GB = round(
-        sum(a.nbytes for a in jax.live_arrays()) / 1024 ** 3, 2
+        sum(a.nbytes for a in jax.live_arrays() if not a.is_deleted())
+        / 1024 ** 3, 2
     )
     times = []
     for _ in range(3):
@@ -270,6 +274,15 @@ def _ladder(fn, batches, label):
             # bench log, not silently laddered past (advisor r4).
             _note(f"{label} failed at batch {b}, retrying smaller. "
                   f"Exception: {str(e)[:2000]}")
+            # Deferred frees: donated buffers from the failed attempt (and
+            # prior measurements still queued on the device) release
+            # asynchronously — an instant retry re-OOMs against memory
+            # that is already on its way out (run3: five 8b-fp8 attempts
+            # failed within 0.1s). Drop refs, then give the device a beat.
+            import gc
+
+            gc.collect()
+            time.sleep(3.0)
     raise RuntimeError(f"{label} OOM at every batch tried {batches}")
 
 
@@ -404,9 +417,13 @@ def _mla_1b_config():
 # cumulative dict, so evidence streams out as it lands.
 # --------------------------------------------------------------------------
 
-def leg_1b():
-    """1B ladder: bf16@8 baseline, fp8@44 (the headline equal-HBM ratio),
-    int8@44, int8-KV arena@88."""
+def leg_core():
+    """Highest-value chain in ONE process: 1B headline (bf16@8 + fp8@44)
+    then the full 3B paper-scale ladder. One process because the remote
+    compile helper charges a once-per-process first-big-compile tax
+    (measured 40-850s, load-dependent) while every later program in the
+    same process compiles in ~7-15s — child-per-leg paid that tax per leg.
+    Measurements stream in value order; a kill keeps the prefix."""
     import jax.numpy as jnp
     from llm_fp8_tpu.models import get_config
 
@@ -434,6 +451,7 @@ def leg_1b():
     _emit(out)
     del qparams
 
+    out.update(leg_3b())
     return out
 
 
@@ -459,6 +477,9 @@ def leg_1b_extras():
     out.update(int8kv_tokens_per_s=round(tps, 1), int8kv_batch=batch,
                int8kv_peak_hbm_gb=_peak_hbm_gb())
     _emit(out)
+    del q_int8
+
+    out.update(leg_mla())
     return out
 
 
@@ -602,10 +623,10 @@ def leg_mla():
 
 
 LEGS = {
-    "1b": leg_1b,
-    "3b": leg_3b,
+    "core": leg_core,
+    "3b": leg_3b,          # callable standalone for ad-hoc runs
     "8b": leg_8b,
-    "1b_extras": leg_1b_extras,
+    "extras": leg_1b_extras,
     "mla": leg_mla,
 }
 
@@ -615,11 +636,9 @@ LEGS = {
 # config. Estimates assume a moderately loaded remote compile helper —
 # actual per-leg walls land in the emitted ``leg_s`` field for calibration.
 LEG_PLAN = [
-    ("1b", 300),
-    ("3b", 420),
-    ("8b", 420),
-    ("1b_extras", 160),
-    ("mla", 130),
+    ("core", 640),
+    ("8b", 330),
+    ("extras", 180),
 ]
 
 
