@@ -80,11 +80,16 @@ def main():
     ap.add_argument("--corpus", default=None)
     ap.add_argument("--gammas", type=int, nargs="+", default=[GAMMA])
     ap.add_argument("--max_new", type=int, default=NEW)
-    # Token budget per dispatch for BOTH engines: the plain engine chains
-    # decode_burst greedy steps; the SpecEngine chains
-    # decode_burst // (gamma+1) speculative rounds (r5: the spec round got
-    # the same lax.scan medicine as plain burst decode).
+    # Committed-token budget per dispatch for BOTH engines: the plain
+    # engine chains decode_burst greedy steps; the SpecEngine chains
+    # decode_burst // 2 speculative rounds (r5: rounds scan on-device, and
+    # the round budget matches plain's dispatch amortization).
     ap.add_argument("--decode_burst", type=int, default=32)
+    ap.add_argument("--max_seq_len", type=int, default=512,
+                    help="arena length; long-generation configs (e.g. 2048 "
+                    "with --max_new 1500) are where speculation's economics "
+                    "improve: the target step slows with cache length while "
+                    "the draft lane's cost is nearly flat")
     args = ap.parse_args()
 
     cfg = get_config(args.target)
@@ -99,7 +104,7 @@ def main():
     else:
         prompts = random_prompts(cfg.vocab_size)
 
-    ecfg = EngineConfig(max_slots=SLOTS, max_seq_len=512,
+    ecfg = EngineConfig(max_slots=SLOTS, max_seq_len=args.max_seq_len,
                         kv_dtype=jnp.bfloat16,
                         decode_burst=args.decode_burst)
 

@@ -66,6 +66,12 @@ def attempt_on_chip(batch, seq):
         out["fits"] = False
         out["error"] = msg[:400]
         out["oom"] = "RESOURCE_EXHAUSTED" in msg
+        if "remote_compile" in msg or "tpu_compile_helper" in msg:
+            # The helper dies rather than returning a clean OOM when the
+            # single-chip program's buffer assignment exceeds HBM.
+            out["failure_mode"] = (
+                "compile helper crash — consistent with the closed-form "
+                "state arithmetic (29.9 GB AdamW state > 16 GB HBM)")
     return out
 
 
