@@ -22,7 +22,12 @@ physical page stores every layer's K/V for its token span):
             still DMA them (results are masked), so ids are clamped to
             [0, P-1] in-kernel and padding may be any value
   layer_idx: scalar int32               which layer's slab to read
-Output: [B, Hq, D].
+Output: [B, Hq, D] — or ``(out, k_pages, v_pages)`` when ``new_k/new_v``
+are given: the kernel first quantizes (by ``1/kv_scale``) and appends the
+new token at position ``lengths-1`` of each sequence's current page via
+one aligned [Hk, D, 128] tile RMW (pools aliased in-place), then attends
+over ``lengths`` tokens — the ``flash_attn_with_kvcache`` k_new/v_new
+semantics (``csrc/flash_attn/flash_api.cpp:557-581``) on the paged pool.
 
 GQA is packed into sublanes: the kernel processes one (batch, kv-head) pair
 per grid cell with all ``Hq/Hk`` grouped query heads as rows of a single
@@ -51,15 +56,7 @@ def _kernel(
     # inputs
     q_ref,  # [1, Hk, G8, D] VMEM (grouped q heads, padded to 8 sublanes)
     alibi_ref,  # [Hk, 1, G8] VMEM — per-KV-head ALiBi slopes (0s if unused)
-    k_pages_ref,  # [P, L, Hk, D, page] HBM (lane-major pages)
-    v_pages_ref,  # [P, L, Hk, D, page] HBM
-    # output
-    o_ref,  # [1, Hk, G8, D]
-    # scratch
-    k_buf,  # [2, Hk, D, page] VMEM
-    v_buf,  # [2, Hk, D, page] VMEM
-    sems,  # DMA sems [2, 2]
-    *,
+    *rest,  # [new_k, new_v,] k_pages, v_pages, o, [k_out, v_out,] scratch
     page_size: int,
     max_pages: int,
     nf: int,
@@ -68,7 +65,14 @@ def _kernel(
     window: Optional[int],
     softcap: Optional[float],
     has_alibi: bool,
+    append: bool,
 ):
+    if append:
+        (new_k_ref, new_v_ref, k_in_ref, v_in_ref,
+         o_ref, k_pages_ref, v_pages_ref,
+         k_buf, v_buf, sems, tile_buf, tile_sems) = rest
+    else:
+        (k_pages_ref, v_pages_ref, o_ref, k_buf, v_buf, sems) = rest
     # One grid cell per SEQUENCE; each loop iteration fetches a GROUP of
     # ``nf`` pages, each as one whole [Hk, D, page] slab (contiguous in the
     # pool layout), into a wide double-buffered VMEM tile [Hk, D, nf·page].
@@ -91,7 +95,9 @@ def _kernel(
             # page count are padding the grouped fetch still reads (their
             # lanes are masked out of the softmax) — a caller padding with
             # -1/garbage must not turn into an out-of-pool DMA.
-            page = jnp.clip(tables_ref[b, idx], 0, k_pages_ref.shape[0] - 1)
+            page = jnp.minimum(
+                jnp.maximum(tables_ref[b, idx], 0),
+                k_pages_ref.shape[0] - 1)
             pltpu.make_async_copy(
                 k_pages_ref.at[page, layer],
                 k_buf.at[slot, :, :, pl.ds(j * page_size, page_size)],
@@ -115,6 +121,82 @@ def _kernel(
                 v_buf.at[slot, :, :, pl.ds(j * page_size, page_size)],
                 sems.at[slot, 1, j],
             ).wait()
+
+    # ---- in-kernel quantize + append of the new token ----
+    # The XLA alternative (scatter/dynamic_update_slice with a dynamic
+    # LANE-dim offset into the pool) copies the whole multi-GB pool per
+    # layer per step — measured ~1.2 s/step at 8k/B8 (r5 probe; the
+    # same pathology the arena kernel's in-kernel append fixed in r2).
+    # Here: one aligned [Hk, D, 128] tile RMW on the sequence's current
+    # page. Requantizing the 127 resident columns at the same scale is
+    # the identity, so a plain f32 `where` inserts the column.
+    if append:
+        p_new = length - 1
+        # lax.div, not //: floor_divide's closed_call has no Mosaic/interpret
+        # lowering (non-negative operands, so trunc == floor).
+        page_new = jnp.minimum(
+            jnp.maximum(tables_ref[b, jax.lax.div(p_new, page_size)], 0),
+            k_pages_ref.shape[0] - 1)
+        off_in_page = jax.lax.rem(p_new, page_size)
+        # RMW tile: one 128-lane tile on TPU (page_size is a 128-multiple
+        # there); interpret-mode tests may use smaller pages.
+        tile_w = min(128, page_size)
+        ts = jax.lax.div(off_in_page, tile_w) * tile_w
+
+        rk = pltpu.make_async_copy(
+            k_in_ref.at[page_new, layer, :, :, pl.ds(ts, tile_w)],
+            tile_buf.at[0], tile_sems.at[0],
+        )
+        rv = pltpu.make_async_copy(
+            v_in_ref.at[page_new, layer, :, :, pl.ds(ts, tile_w)],
+            tile_buf.at[1], tile_sems.at[1],
+        )
+        rk.start()
+        rv.start()
+        rk.wait()
+        rv.wait()
+
+        kq = new_k_ref[0].astype(jnp.float32) / kv_scale  # [Hk, D]
+        vq = new_v_ref[0].astype(jnp.float32) / kv_scale
+        integer = jnp.issubdtype(tile_buf.dtype, jnp.integer)
+        if tile_buf.dtype != new_k_ref.dtype:
+            fmax_store = (float(jnp.iinfo(tile_buf.dtype).max) if integer
+                          else float(jnp.finfo(tile_buf.dtype).max))
+            # Saturate before the narrow cast (fp8 overflow -> NaN; int8
+            # astype would wrap), round for integer storage.
+            # max/min, not jnp.clip: multiple clip closed_calls in one
+            # kernel hit a lowering-cache collision (KeyError in mlir).
+            kq = jnp.minimum(jnp.maximum(kq, -fmax_store), fmax_store)
+            vq = jnp.minimum(jnp.maximum(vq, -fmax_store), fmax_store)
+            if integer:
+                kq = jnp.round(kq)
+                vq = jnp.round(vq)
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, tile_buf.shape[1:], 2)
+        off = off_in_page - ts
+        tile_buf[0] = jnp.where(
+            lane == off, kq[:, :, None], tile_buf[0].astype(jnp.float32)
+        ).astype(tile_buf.dtype)
+        tile_buf[1] = jnp.where(
+            lane == off, vq[:, :, None], tile_buf[1].astype(jnp.float32)
+        ).astype(tile_buf.dtype)
+
+        # Write back through the ALIASED output refs; the fetch loop below
+        # reads those same refs, so it observes the new column.
+        wk = pltpu.make_async_copy(
+            tile_buf.at[0],
+            k_pages_ref.at[page_new, layer, :, :, pl.ds(ts, tile_w)],
+            tile_sems.at[0],
+        )
+        wv = pltpu.make_async_copy(
+            tile_buf.at[1],
+            v_pages_ref.at[page_new, layer, :, :, pl.ds(ts, tile_w)],
+            tile_sems.at[1],
+        )
+        wk.start()
+        wv.start()
+        wk.wait()
+        wv.wait()
 
     @pl.when(n_groups > 0)
     def _():
@@ -211,7 +293,9 @@ def paged_attention(
     alibi_slopes: Optional[tuple] = None,  # [Hq] floats, hashable (static)
     interpret: Optional[bool] = None,
     pages_per_fetch: int = 8,
-) -> jax.Array:
+    new_k: Optional[jax.Array] = None,  # [B, Hk, D] raw (rotated) new token
+    new_v: Optional[jax.Array] = None,
+):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, Hq, D = q.shape
@@ -250,6 +334,7 @@ def paged_attention(
     else:
         alibi_arr = jnp.zeros((Hk, 1, G8), jnp.float32)
 
+    append = new_k is not None
     kernel = functools.partial(
         _kernel,
         page_size=page_size,
@@ -260,7 +345,60 @@ def paged_attention(
         window=window,
         softcap=softcap,
         has_alibi=has_alibi,
+        append=append,
     )
+
+    base_scratch = [
+        pltpu.VMEM((2, Hk, D, nf * page_size), k_pages.dtype),
+        pltpu.VMEM((2, Hk, D, nf * page_size), v_pages.dtype),
+        pltpu.SemaphoreType.DMA((2, 2, nf)),
+    ]
+    q_spec = pl.BlockSpec((1, Hk, G8, D), lambda b, *_: (b, 0, 0, 0))
+    alibi_spec = pl.BlockSpec((Hk, 1, G8), lambda b, *_: (0, 0, 0))
+    o_spec = pl.BlockSpec((1, Hk, G8, D), lambda b, *_: (b, 0, 0, 0))
+    o_shape = jax.ShapeDtypeStruct((B, Hk, G8, D), q.dtype)
+
+    if append:
+        out, k_pages, v_pages = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(B,),
+                in_specs=[
+                    q_spec,
+                    alibi_spec,
+                    pl.BlockSpec((1, Hk, D), lambda b, *_: (b, 0, 0)),
+                    pl.BlockSpec((1, Hk, D), lambda b, *_: (b, 0, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),  # pools stay in HBM
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=(
+                    o_spec,
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ),
+                scratch_shapes=base_scratch + [
+                    pltpu.VMEM((2, Hk, D, min(128, page_size)),
+                               k_pages.dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            ),
+            out_shape=(
+                o_shape,
+                jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+                jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+            ),
+            # Inputs (scalar prefetch included) are (lengths, tables, layer,
+            # q, alibi, new_k, new_v, k_pages, v_pages): alias the pools to
+            # outputs 1/2 → the append RMW is in-place in HBM.
+            input_output_aliases={7: 1, 8: 2},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(lengths, page_tables, layer_idx, qg, alibi_arr,
+          new_k, new_v, k_pages, v_pages)
+        return out[:, :, :groups].reshape(B, Hq, D), k_pages, v_pages
 
     out = pl.pallas_call(
         kernel,
@@ -268,23 +406,15 @@ def paged_attention(
             num_scalar_prefetch=3,
             grid=(B,),
             in_specs=[
-                pl.BlockSpec(
-                    (1, Hk, G8, D), lambda b, *_: (b, 0, 0, 0)
-                ),
-                pl.BlockSpec((Hk, 1, G8), lambda b, *_: (0, 0, 0)),
+                q_spec,
+                alibi_spec,
                 pl.BlockSpec(memory_space=pl.ANY),  # k pages stay in HBM
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(
-                (1, Hk, G8, D), lambda b, *_: (b, 0, 0, 0)
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((2, Hk, D, nf * page_size), k_pages.dtype),
-                pltpu.VMEM((2, Hk, D, nf * page_size), v_pages.dtype),
-                pltpu.SemaphoreType.DMA((2, 2, nf)),
-            ],
+            out_specs=o_spec,
+            scratch_shapes=base_scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hk, G8, D), q.dtype),
+        out_shape=o_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

@@ -652,20 +652,6 @@ def forward_paged(
                                     cfg.rope_scaling)
         cos, sin = rope_cos_sin(positions, inv_freq, cfg.rope_scaling)
 
-    page_ids = jnp.take_along_axis(
-        page_tables, (lens // page_size)[:, None], axis=1
-    )[:, 0]  # [B] physical page receiving the new token
-    offsets = lens % page_size
-
-    def append(pages, new, layer_idx):
-        """Scatter new [B, Hk, Dh] into pages at (page_ids[b], layer, :, :,
-        off[b]) — hinted (each sequence owns its pages, so (page, offset)
-        pairs are unique): the unhinted per-row-update form serializes
-        (see docs/PERF_NOTES.md "Scatter hints on cache appends")."""
-        return pages.at[page_ids, layer_idx, :, :, offsets].set(
-            new.astype(pages.dtype), unique_indices=True
-        )
-
     def body(carry, lp_l):
         x, kp, vp = carry
         lp, l = lp_l
@@ -684,25 +670,16 @@ def forward_paged(
             kk = apply_rope(kk, cos, sin)
         vv = vv.reshape(B, 1, Hk, Dh)
 
-        k_new = kk[:, 0].astype(jnp.float32) / kv_scale
-        v_new = vv[:, 0].astype(jnp.float32) / kv_scale
-        if kp.dtype != kk.dtype:
-            # Saturate before the narrow cast (fp8 overflow would become
-            # NaN; int8 astype would wrap), round for integer storage.
-            if jnp.issubdtype(kp.dtype, jnp.integer):
-                fmax = float(jnp.iinfo(kp.dtype).max)
-                k_new = jnp.round(jnp.clip(k_new, -fmax, fmax))
-                v_new = jnp.round(jnp.clip(v_new, -fmax, fmax))
-            else:
-                fmax = float(jnp.finfo(kp.dtype).max)
-                k_new = jnp.clip(k_new, -fmax, fmax)
-                v_new = jnp.clip(v_new, -fmax, fmax)
-        kp = append(kp, k_new, l)
-        vp = append(vp, v_new, l)
-
-        attn = paged_attention(
+        # Quantize + append happen INSIDE the kernel (one aligned 128-lane
+        # tile RMW on the sequence's current page): the XLA scatter/DUS
+        # with a dynamic lane-dim offset copies the whole multi-GB pool
+        # per layer per step — measured ~100 ms/decode-step at 8k/B8, the
+        # entire long-context decode budget (r5; same fix as the arena
+        # kernel's in-kernel append, r2).
+        attn, kp, vp = paged_attention(
             q[:, 0], kp, vp, lens + 1, page_tables, l, kv_scale=kv_scale,
             alibi_slopes=slopes, window=cfg.sliding_window,
+            new_k=kk[:, 0], new_v=vv[:, 0],
         )
         x = x + _dot(attn.reshape(B, 1, Hq * Dh), lp["wo"])
 
