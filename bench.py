@@ -477,9 +477,6 @@ def leg_1b_extras():
     out.update(int8kv_tokens_per_s=round(tps, 1), int8kv_batch=batch,
                int8kv_peak_hbm_gb=_peak_hbm_gb())
     _emit(out)
-    del q_int8
-
-    out.update(leg_mla())
     return out
 
 
@@ -622,12 +619,42 @@ def leg_mla():
     return out
 
 
+def leg_lc8k():
+    """Long-context paged serving at 8k: the paged pool's reason to exist,
+    measured end-to-end (PagedEngine admission -> paged prefill -> in-kernel
+    append + paged flash decode -> retire; tokens/s counts new tokens over
+    the whole round incl. prefill). int8 weights; bf16-KV batch 4 vs
+    equal-HBM int8-KV batch 8."""
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scripts.bench_long_context import drive
+    from llm_fp8_tpu.models import get_config
+
+    cfg = get_config("llama-3.2-1b")
+    params = _fake_quantized_params(cfg, fmt="int8")
+    _note("lc8k: params built")
+    out = {}
+    row = drive(params, cfg, kv_dtype=jnp.bfloat16, kv_scale=1.0,
+                batch=4, context=8192, new=64, page_size=128)
+    out.update(lc8k_bf16kv_tokens_per_s=row["tokens_per_s"],
+               lc8k_bf16kv_batch=4, lc8k_bf16kv_ttft_p50_s=row["ttft_p50_s"])
+    _emit(out)
+    row = drive(params, cfg, kv_dtype=jnp.int8, kv_scale=0.05,
+                batch=8, context=8192, new=64, page_size=128)
+    out.update(lc8k_int8kv_tokens_per_s=row["tokens_per_s"],
+               lc8k_int8kv_batch=8, lc8k_int8kv_ttft_p50_s=row["ttft_p50_s"])
+    _emit(out)
+    return out
+
+
 LEGS = {
     "core": leg_core,
     "3b": leg_3b,          # callable standalone for ad-hoc runs
     "8b": leg_8b,
     "extras": leg_1b_extras,
     "mla": leg_mla,
+    "lc8k": leg_lc8k,
 }
 
 # (name, wall-clock estimate s) in run order. The 1b headline goes first so
@@ -635,10 +662,14 @@ LEGS = {
 # ladder; then the 8B ladder (BASELINE.json model); then the MLA capacity
 # config. Estimates assume a moderately loaded remote compile helper —
 # actual per-leg walls land in the emitted ``leg_s`` field for calibration.
+# mla runs LAST: its real init+quantize param path costs ~300s alone and
+# its capacity headline is already proven in three prior rounds' artifacts.
 LEG_PLAN = [
     ("core", 640),
     ("8b", 330),
-    ("extras", 180),
+    ("extras", 150),
+    ("lc8k", 150),
+    ("mla", 200),
 ]
 
 
