@@ -538,7 +538,8 @@ def leg_8b():
 
     bf16 8B weighs 16 GB — it does not fit one v5e chip at all; 1-byte
     weights are what makes single-chip 8B serving possible. Order: int8
-    (fastest v5e format) -> int8-KV -> fp8."""
+    (fastest v5e format) -> int8-KV; fp8 runs in its own child
+    (leg_8b_fp8) — rebuilding 8 GB after these measurements fragments."""
     import jax.numpy as jnp
     from llm_fp8_tpu.models import get_config
 
@@ -564,12 +565,22 @@ def leg_8b():
                llama8b_int8kv_batch=batch,
                llama8b_int8kv_peak_hbm_gb=_peak_hbm_gb())
     _emit(out)
-    del q_int8
+    return out
+
+
+def leg_8b_fp8():
+    """8B fp8 in its OWN process: rebuilding 8 GB of weights after the int8
+    measurements' alloc/free cycles OOMs on fragmentation (run3/run4: every
+    batch failed instantly even with gc + pause) — a fresh PJRT client is
+    the reliable fix, worth the extra compile tax."""
+    import jax.numpy as jnp
+    from llm_fp8_tpu.models import get_config
 
     # Fused kernel path: streams fp8 from HBM without a bf16 weight copy
     # (the XLA path can hoist loop-invariant dequantized weights out of
     # the decode scan — 14 GB of bf16 for 8B, instant OOM).
     os.environ["LLM_FP8_QDOT"] = "fused"
+    cfg = get_config("llama-3.1-8b")
 
     def run_fp8(b):
         # Param construction inside the ladder: on a time-shared chip even
@@ -582,9 +593,9 @@ def leg_8b():
             del qparams
 
     tps, batch = _ladder(run_fp8, (28, 16, 8, 8, 4), "8b fp8")
-    out.update(llama8b_fp8_tokens_per_s=round(tps, 1),
-               llama8b_fp8_batch=batch,
-               llama8b_fp8_peak_hbm_gb=_peak_hbm_gb())
+    out = {"llama8b_fp8_tokens_per_s": round(tps, 1),
+           "llama8b_fp8_batch": batch,
+           "llama8b_fp8_peak_hbm_gb": _peak_hbm_gb()}
     _emit(out)
     return out
 
@@ -652,6 +663,7 @@ LEGS = {
     "core": leg_core,
     "3b": leg_3b,          # callable standalone for ad-hoc runs
     "8b": leg_8b,
+    "8b_fp8": leg_8b_fp8,
     "extras": leg_1b_extras,
     "mla": leg_mla,
     "lc8k": leg_lc8k,
@@ -666,7 +678,8 @@ LEGS = {
 # its capacity headline is already proven in three prior rounds' artifacts.
 LEG_PLAN = [
     ("core", 640),
-    ("8b", 330),
+    ("8b", 250),
+    ("8b_fp8", 160),
     ("extras", 150),
     ("lc8k", 150),
     ("mla", 200),
