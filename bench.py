@@ -263,6 +263,8 @@ def _ladder(fn, batches, label):
     or a remote-compile crash (the chip is time-shared: a co-tenant can hold
     HBM when a leg runs, and the AOT compile helper can die on the largest
     8B programs)."""
+    import gc
+
     for b in batches:
         try:
             return fn(b), b
@@ -272,17 +274,16 @@ def _ladder(fn, batches, label):
             # Full text to stderr: a genuine kernel/lowering bug that
             # surfaces through the compile helper must be visible in the
             # bench log, not silently laddered past (advisor r4).
-            _note(f"{label} failed at batch {b}, retrying smaller. "
-                  f"Exception: {str(e)[:2000]}")
-            # Deferred frees: donated buffers from the failed attempt (and
-            # prior measurements still queued on the device) release
-            # asynchronously — an instant retry re-OOMs against memory
-            # that is already on its way out (run3: five 8b-fp8 attempts
-            # failed within 0.1s). Drop refs, then give the device a beat.
-            import gc
-
-            gc.collect()
-            time.sleep(3.0)
+            msg = str(e)[:2000]
+        # OUTSIDE the except block: the exception's traceback pins the
+        # failed attempt's frames (with their multi-GB arrays) until the
+        # handler exits — a gc inside the handler frees nothing, and an
+        # instant retry re-OOMs against memory still on its way out
+        # (run3: five 8b-fp8 attempts failed within 0.1 s).
+        _note(f"{label} failed at batch {b}, retrying smaller. "
+              f"Exception: {msg}")
+        gc.collect()
+        time.sleep(3.0)
     raise RuntimeError(f"{label} OOM at every batch tried {batches}")
 
 
