@@ -26,20 +26,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from llm_fp8_tpu.quant.qtensor import QTensor, MX_BLOCK
+from llm_fp8_tpu.kernels._common import e4m3_to_bf16_ftz
 
 __all__ = ["quant_matmul", "qdot_fused"]
 
 
-def _dequant_to(w: jax.Array, dtype) -> jax.Array:
+def _dequant_to(w: jax.Array, dtype, *, exact: Optional[bool] = None) -> jax.Array:
     """fp8 → bf16 tile dequantization.
 
-    For e4m3fn a manual bit-construction beats Mosaic's builtin convert
-    (~12% on v5e, where fp8 converts are software-emulated on the VPU):
-    normal values are assembled directly into bf16 bit patterns
-    (``exp_bf16 = exp_e4m3 + 120``), subnormals (|x| < 2^-6) via exact
-    integer→float of the mantissa. Bit-exact vs ``astype`` (tested).
+    Default route is the shift+multiply construction
+    (:func:`.._common.e4m3_to_bf16_ftz`) — ~1.5× the exact select chain on
+    v5e, where fp8 converts are software on the VPU. It flushes e4m3
+    subnormal codes (|x| < 2^-6) to ±0; ``quantize_params`` guarantees the
+    serving weights contain none (``flush_subnormal=True`` at the scale-
+    baking pass), so the route is bit-exact vs ``astype`` on every code the
+    framework stores (tested). For externally-produced fp8 payloads that may
+    carry subnormal codes, pin ``LLM_FP8_DEQUANT=exact`` (read at trace
+    time) to restore the select-based exact chain: normals assembled into
+    bf16 bit patterns (``exp_bf16 = exp_e4m3 + 120``), subnormals via exact
+    integer→float of the mantissa.
     """
     if w.dtype == jnp.float8_e4m3fn and dtype == jnp.bfloat16:
+        if exact is None:
+            import os
+
+            exact = os.environ.get("LLM_FP8_DEQUANT", "ftz") == "exact"
+        if not exact:
+            return e4m3_to_bf16_ftz(w)
         i32 = pltpu.bitcast(w, jnp.uint8).astype(jnp.int32)
         sign = jnp.left_shift(jnp.bitwise_and(i32, 0x80), 8)
         em = jnp.bitwise_and(i32, 0x7F)

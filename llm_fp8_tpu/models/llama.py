@@ -112,13 +112,15 @@ def quantize_params(
             return
         if recipe.granularity == "block32":
             layers[name] = quantize_mx(
-                wv.astype(jnp.float32), recipe.fmt_fwd, block_axis=contract_axis
+                wv.astype(jnp.float32), recipe.fmt_fwd,
+                block_axis=contract_axis, flush_subnormal=True,
             )
         else:
             # contract_axis is the K axis of the stacked [L, K, N] weight.
             layers[name] = quantize(
                 wv.astype(jnp.float32), recipe.fmt_fwd, axes=(contract_axis,),
                 margin=recipe.margin, group_size=recipe.group_size,
+                flush_subnormal=True,
             )
 
     q("wqkv", "attn_qkv")
@@ -129,7 +131,8 @@ def quantize_params(
     lm_recipe = recipes.for_role("lm_head")
     if lm_recipe is not None and "lm_head" in out:
         out["lm_head"] = quantize(
-            out["lm_head"].astype(jnp.float32), lm_recipe.fmt_fwd, axes=(0,)
+            out["lm_head"].astype(jnp.float32), lm_recipe.fmt_fwd, axes=(0,),
+            flush_subnormal=True,
         )
     return out
 

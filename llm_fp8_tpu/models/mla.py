@@ -397,13 +397,13 @@ def quantize_mla_params(params: Dict[str, Any], recipes: RecipeSet):
         if recipe.granularity == "block32":
             layers[name] = quantize_mx(
                 wv.astype(jnp.float32), recipe.fmt_fwd,
-                block_axis=contract_axis,
+                block_axis=contract_axis, flush_subnormal=True,
             )
         else:
             layers[name] = quantize(
                 wv.astype(jnp.float32), recipe.fmt_fwd,
                 axes=(contract_axis,), margin=recipe.margin,
-                group_size=recipe.group_size,
+                group_size=recipe.group_size, flush_subnormal=True,
             )
 
     for gname in ("dense_layers", "moe_layers"):
@@ -423,7 +423,8 @@ def quantize_mla_params(params: Dict[str, Any], recipes: RecipeSet):
     lm_recipe = recipes.for_role("lm_head")
     if lm_recipe is not None and "lm_head" in out:
         out["lm_head"] = quantize(
-            out["lm_head"].astype(jnp.float32), lm_recipe.fmt_fwd, axes=(0,)
+            out["lm_head"].astype(jnp.float32), lm_recipe.fmt_fwd, axes=(0,),
+            flush_subnormal=True,
         )
     return out
 

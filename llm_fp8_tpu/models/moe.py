@@ -333,13 +333,13 @@ def quantize_moe_params(params: Dict[str, Any], recipes: RecipeSet):
 
             layers[name] = quantize_mx(
                 wv.astype(jnp.float32), recipe.fmt_fwd,
-                block_axis=contract_axis,
+                block_axis=contract_axis, flush_subnormal=True,
             )
         else:
             layers[name] = quantize(
                 wv.astype(jnp.float32), recipe.fmt_fwd,
                 axes=(contract_axis,), margin=recipe.margin,
-                group_size=recipe.group_size,
+                group_size=recipe.group_size, flush_subnormal=True,
             )
 
     q("wqkv", "attn_qkv", 1)
@@ -350,7 +350,8 @@ def quantize_moe_params(params: Dict[str, Any], recipes: RecipeSet):
     lm_recipe = recipes.for_role("lm_head")
     if lm_recipe is not None and "lm_head" in out:
         out["lm_head"] = quantize(
-            out["lm_head"].astype(jnp.float32), lm_recipe.fmt_fwd, axes=(0,)
+            out["lm_head"].astype(jnp.float32), lm_recipe.fmt_fwd, axes=(0,),
+            flush_subnormal=True,
         )
     return out
 

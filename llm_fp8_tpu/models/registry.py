@@ -55,12 +55,14 @@ def quantize_zoo_params(params: Dict[str, Any], recipes: RecipeSet,
         wv = layers[name]
         if recipe.granularity == "block32":
             layers[name] = quantize_mx(
-                wv.astype(jnp.float32), recipe.fmt_fwd, block_axis=1
+                wv.astype(jnp.float32), recipe.fmt_fwd, block_axis=1,
+                flush_subnormal=True,
             )
         else:
             layers[name] = quantize(
                 wv.astype(jnp.float32), recipe.fmt_fwd, axes=(1,),
                 margin=recipe.margin, group_size=recipe.group_size,
+                flush_subnormal=True,
             )
     out["layers"] = layers
     return out

@@ -166,6 +166,14 @@ def _unpack_int4(q: jax.Array, axis: int) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=axis % q.ndim)
 
 
+def _flush_e4m3_subnormal(q: jax.Array, fmt: Format) -> jax.Array:
+    """Round e4m3 subnormal codes (|x| < 2^-6) to ±0 (see ``quantize``)."""
+    if fmt.dtype != jnp.float8_e4m3fn:
+        return q
+    sub = jnp.abs(q.astype(jnp.float32)) < 2.0 ** -6
+    return jnp.where(sub, jnp.zeros_like(q), q)
+
+
 def quantize(
     x: jax.Array,
     fmt: Format = E4M3,
@@ -174,6 +182,7 @@ def quantize(
     scale: Optional[jax.Array] = None,
     margin: int = 0,
     group_size: Optional[int] = None,
+    flush_subnormal: bool = False,
 ) -> QTensor:
     """Per-tensor (``axes=None``) or per-axis quantization.
 
@@ -181,6 +190,14 @@ def quantize(
     weight ``[in, out]`` contracted over ``in``, ``axes=(0,)`` gives one scale
     per output channel. Pass ``scale`` to reuse a precomputed (e.g. delayed)
     scale instead of the just-in-time amax.
+
+    ``flush_subnormal`` (weight scale-baking passes set it) rounds values
+    that would land on e4m3 subnormal codes (|q| < 2^-6, i.e. below
+    ~amax/28672 at per-channel scaling — beneath e4m3's own quantization
+    error) to ±0, so the stored codes dequantize bit-exactly through the
+    fused kernel's fast FTZ route (``kernels._common.e4m3_to_bf16_ftz``).
+    Training-recipe quantizations (delayed scales) leave it off: they ride
+    the XLA/native dots, which convert subnormals exactly.
 
     ``group_size`` subdivides the single reduction axis into groups that each
     get their own (float, not power-of-two) scale — the standard int4 serving
@@ -209,6 +226,7 @@ def quantize(
         # float→int astype truncates toward zero; int8 needs round-to-nearest.
         q = jnp.round(q)
     q = q.astype(fmt.dtype)
+    q = _flush_e4m3_subnormal(q, fmt) if flush_subnormal else q
     if scale.ndim == 0:
         scale = scale.reshape((1,) * x.ndim)
     if fmt.name == "int4":
@@ -266,6 +284,7 @@ def quantize_mx(
     *,
     block_axis: int = -1,
     block_size: int = MX_BLOCK,
+    flush_subnormal: bool = False,
 ) -> QTensor:
     """OCP MX block quantization: shared power-of-two scale per block.
 
@@ -295,6 +314,7 @@ def quantize_mx(
     scale = jnp.exp2(shared_exp)
     q = jnp.clip(xb / jnp.expand_dims(scale, block_axis + 1), -fmt.max, fmt.max)
     q = q.astype(fmt.dtype).reshape(x.shape)
+    q = _flush_e4m3_subnormal(q, fmt) if flush_subnormal else q
     # E8M0 semantics (pure power-of-two shared exponent) stored as bfloat16:
     # bf16 has the full f32 exponent range so every e8m0 value round-trips
     # exactly, and — unlike f8e8m0 — the TPU compiler supports it natively.

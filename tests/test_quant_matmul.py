@@ -45,23 +45,73 @@ class TestQuantMatmul:
 
     @pytest.mark.exact
     def test_bit_twiddle_dequant_exact(self):
-        """The manual exponent-rebias dequant must agree with ``astype``
-        bit-for-bit on every e4m3 value, including subnormals and zeros —
-        asserted exactly even on TPU (the conftest tolerance floor is
-        disabled by the ``exact`` marker)."""
+        """The select-chain dequant (``exact=True`` / LLM_FP8_DEQUANT=exact)
+        must agree with ``astype`` bit-for-bit on every e4m3 value, including
+        subnormals and zeros — asserted exactly even on TPU (the conftest
+        tolerance floor is disabled by the ``exact`` marker)."""
         from llm_fp8_tpu.kernels.quant_matmul import _dequant_to
 
         all_bits = jnp.arange(256, dtype=jnp.uint8)
         vals = jax.lax.bitcast_convert_type(all_bits, jnp.float8_e4m3fn)
         vals = jnp.where(jnp.isnan(vals.astype(jnp.float32)), 0.0, vals)
         # bitcast has no eager eval rule — run the helper under jit.
-        got = jax.jit(lambda v: _dequant_to(v, jnp.bfloat16))(
+        got = jax.jit(lambda v: _dequant_to(v, jnp.bfloat16, exact=True))(
             vals.reshape(16, 16)
         )
         want = vals.reshape(16, 16).astype(jnp.bfloat16)
         np.testing.assert_array_equal(
             np.asarray(got, np.float32), np.asarray(want, np.float32)
         )
+
+    @pytest.mark.exact
+    def test_ftz_dequant_exact_on_stored_domain(self):
+        """The default (fast) dequant route is exact vs ``astype`` on every
+        e4m3 code the framework stores: all normals and ±0. Subnormal codes
+        — which ``quantize(flush_subnormal=True)`` never emits — flush to 0
+        (documented FTZ semantics of ``e4m3_to_bf16_ftz``)."""
+        from llm_fp8_tpu.kernels.quant_matmul import _dequant_to
+
+        all_bits = jnp.arange(256, dtype=jnp.uint8)
+        vals = jax.lax.bitcast_convert_type(all_bits, jnp.float8_e4m3fn)
+        vals = jnp.where(jnp.isnan(vals.astype(jnp.float32)), 0.0, vals)
+        got = np.asarray(jax.jit(
+            lambda v: _dequant_to(v, jnp.bfloat16, exact=False)
+        )(vals.reshape(16, 16)), np.float32).ravel()
+        want = np.asarray(
+            vals.reshape(16, 16).astype(jnp.bfloat16), np.float32
+        ).ravel()
+        em = np.arange(256) & 0x7F
+        stored = em >= 8  # normal codes
+        np.testing.assert_array_equal(got[stored], want[stored])
+        # subnormals and zeros → ±0 under FTZ
+        np.testing.assert_array_equal(got[~stored], np.zeros(np.sum(~stored)))
+
+    @pytest.mark.exact
+    def test_quantize_flush_subnormal_codes(self):
+        """``flush_subnormal=True`` leaves no e4m3 subnormal codes in the
+        stored payload (the fused kernel's FTZ contract), and touches only
+        values below 2^-6 of the channel scale."""
+        from llm_fp8_tpu.quant import quantize, quantize_mx, E4M3
+
+        x = rand(11, (64, 96), 1.0)
+        # plant values tiny relative to each channel's amax
+        x = x.at[0, :].set(1e-6)
+        for wq in (
+            quantize(x, E4M3, axes=(0,), flush_subnormal=True),
+            quantize_mx(x, E4M3, block_axis=0, flush_subnormal=True),
+        ):
+            bits = np.asarray(
+                jax.jit(jax.lax.bitcast_convert_type,
+                        static_argnums=1)(wq.qvalue, jnp.uint8))
+            em = bits & 0x7F
+            assert not np.any((em > 0) & (em < 8)), "subnormal codes stored"
+            # flushed entries dequantize to exact zero; everything else
+            # matches the unflushed quantization bit-for-bit
+            ref = quantize(x, E4M3, axes=(0,), scale=None)
+            assert np.all(
+                np.asarray(wq.dequantize(jnp.float32))[np.asarray(em) == 0]
+                == 0.0
+            )
 
     def test_determinism(self):
         x = rand(4, (16, 256)).astype(jnp.bfloat16)
