@@ -522,14 +522,32 @@ def leg_3b():
     _emit(out)
     del q_int8
 
-    os.environ["LLM_FP8_QDOT"] = "fused"
+    # Default (XLA convert+dot) route — the engine's actual fp8 serving
+    # path on v5e. Round-5 finding: the r4 ladder pinned LLM_FP8_QDOT=fused
+    # here, measuring the Pallas kernel's software dequant (1.14k tok/s) and
+    # attributing the gap to a "v5e fp8 tax"; the default route streams fp8
+    # with XLA's convert fused into the dot's operand read at ~hw rate
+    # (2.6k tok/s, 3.6x bf16 — probed up to batch 56 with no hidden bf16
+    # weight copy; the hoist-OOM risk is an 8B-scale behavior).
+    os.environ.pop("LLM_FP8_QDOT", None)
     qparams = _fake_quantized_params(cfg, fmt="fp8")
     tps, batch = _ladder(
         lambda b: bench_decode(qparams, cfg, jnp.bfloat16, b),
         (BATCH_3B_FP8, 28, 20), "3b fp8")
     out.update(llama3b_fp8_tokens_per_s=round(tps, 1),
                llama3b_fp8_batch=batch,
+               llama3b_fp8_route="xla-convert-dot",
                llama3b_fp8_peak_hbm_gb=_peak_hbm_gb())
+    _emit(out)
+
+    # fp8 KV in the arena kernel (round-5 FTZ dequant): the 1-byte-KV
+    # config for deployments needing fp8 bit-parity with a GPU stack.
+    tps, batch = _ladder(
+        lambda b: bench_decode_arena(qparams, cfg, jnp.float8_e4m3fn, b),
+        (72, 64, 56, 48), "3b fp8-KV")
+    out.update(llama3b_fp8kv_tokens_per_s=round(tps, 1),
+               llama3b_fp8kv_batch=batch,
+               llama3b_fp8kv_peak_hbm_gb=_peak_hbm_gb())
     _emit(out)
     return out
 
@@ -577,10 +595,14 @@ def leg_8b_fp8():
     import jax.numpy as jnp
     from llm_fp8_tpu.models import get_config
 
-    # Fused kernel path: streams fp8 from HBM without a bf16 weight copy
-    # (the XLA path can hoist loop-invariant dequantized weights out of
-    # the decode scan — 14 GB of bf16 for 8B, instant OOM).
-    os.environ["LLM_FP8_QDOT"] = "fused"
+    # Default (XLA convert+dot) route. History: r3/r4 pinned the fused
+    # kernel here after an OOM attributed to XLA hoisting a bf16 weight
+    # copy out of the decode scan; re-probed round 5 in a fresh process —
+    # b28 runs at 1451 tok/s (vs the fused route's 140 at b8) with no
+    # hidden copy (8 GB fp8 + 3.8 GB KV + embed fits, which a 14 GB bf16
+    # hoist could not). The earlier OOM matches the fragmentation failure
+    # this child-process split was built to avoid (docstring above).
+    os.environ.pop("LLM_FP8_QDOT", None)
     cfg = get_config("llama-3.1-8b")
 
     def run_fp8(b):
@@ -596,6 +618,7 @@ def leg_8b_fp8():
     tps, batch = _ladder(run_fp8, (28, 16, 8, 8, 4), "8b fp8")
     out = {"llama8b_fp8_tokens_per_s": round(tps, 1),
            "llama8b_fp8_batch": batch,
+           "llama8b_fp8_route": "xla-convert-dot",
            "llama8b_fp8_peak_hbm_gb": _peak_hbm_gb()}
     _emit(out)
     return out

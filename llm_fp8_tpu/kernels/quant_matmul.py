@@ -4,8 +4,12 @@ TPU-native equivalent of the reference's FP8 GEMM path (TE → cuBLASLt FP8
 GEMM behind ``fp8_autocast``, and the ``csrc/fused_dense_lib`` epilogues,
 SURVEY.md §2c #42): weights stream from HBM as 1-byte elements and are
 dequantized in VMEM on the way into the MXU — the weight never exists in
-bf16 in HBM. Decode is HBM-bandwidth-bound, so halving weight bytes is the
-~2× tokens/s lever (BASELINE.json north star).
+bf16 in HBM, *by construction*. Role on v5e (round-5 measurement): XLA's
+convert+dot streams per-channel fp8 at ~hardware rate without materializing
+a bf16 copy either, so plain-GEMM serving defaults to ``impl="xla"``
+(``quant/dot.py``); this kernel is the MX-block-scale path (scales vary
+along K — XLA would materialize the dequantized operand) and the
+guaranteed-residency option (``LLM_FP8_QDOT=fused``).
 
 Three scale modes, matching the quantization granularities in
 ``llm_fp8_tpu.quant``:

@@ -76,9 +76,13 @@ def qdot(
     if impl is None:
         import os
 
-        # Default "xla" on today's chips: on v5e the fused kernel's
-        # VPU-software fp8 dequant measures slightly slower end-to-end than
-        # XLA's convert+dot (docs/PERF_NOTES.md). On fp8-native MXUs the
+        # Default "xla" on today's chips: XLA fuses the e4m3->bf16 convert
+        # into the dot's operand read at ~hardware stream rate (round-5
+        # measurement: 3B decode 2605 tok/s vs the fused kernel's 1390,
+        # with no materialized bf16 weight copy probed up to 8B/b28 —
+        # docs/PERF_NOTES.md). The fused kernel remains the MX-mode path
+        # and the explicit choice where fp8 residency must be guaranteed
+        # against any future hoisting. On fp8-native MXUs the
         # narrow-operand dot is the default. Override with LLM_FP8_QDOT.
         default = "fp8native" if (fp8_weight and _native_fp8_enabled()) \
             else "xla"
