@@ -49,7 +49,7 @@ def bench(B, Hq, Hk, D, L, context, page_size, nf, dtype, iters=32):
             acc = carry
             o = paged_attention(
                 q, k_pages, v_pages, lengths, tables, layer,
-                kv_scale=0.05 if dtype == jnp.int8 else 1.0,
+                kv_scale=1.0 if dtype == jnp.bfloat16 else 0.05,
                 pages_per_fetch=nf,
             )
             return acc + o.astype(jnp.float32), None
@@ -79,12 +79,12 @@ def main():
     ap.add_argument("--context", type=int, default=8192)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--layers", type=int, default=16)
-    ap.add_argument("--kv_dtype", default="int8", choices=["int8", "bf16"])
+    ap.add_argument("--kv_dtype", default="int8", choices=["int8", "bf16", "fp8"])
     ap.add_argument("--page_sizes", type=int, nargs="+", default=[128, 256])
     ap.add_argument("--nfs", type=int, nargs="+", default=[4, 8, 16, 32])
     args = ap.parse_args()
 
-    dtype = jnp.int8 if args.kv_dtype == "int8" else jnp.bfloat16
+    dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16, "fp8": jnp.float8_e4m3fn}[args.kv_dtype]
     for ps in args.page_sizes:
         for nf in args.nfs:
             if nf * ps > args.context:
