@@ -439,9 +439,11 @@ def leg_core():
     _emit(out)
     del params
 
-    # fp8 weights + bf16 KV: fp8 KV would pay software dequant per cache
-    # byte on v5e (measured 0.37x); bf16 KV keeps attention at full speed.
-    # Default QDOT route (as in r2-r4 legs — keeps the headline comparable).
+    # fp8 weights + bf16 KV — the headline config, kept fixed since r2 so
+    # the metric is comparable across rounds. (fp8 KV itself was the
+    # collapsed config in r2 at 0.37x; the round-5 FTZ arena dequant makes
+    # it ~4.4x at b88 — measured on the 3B fp8-KV leg below, the 1B
+    # headline definition stays unchanged.) Default QDOT route.
     qparams = _fake_quantized_params(cfg, fmt="fp8")
     _note("1b fp8: params built")
     fp8_tps, fp8_batch = _ladder(
